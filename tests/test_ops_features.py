@@ -1,0 +1,48 @@
+"""Feature pipeline parity vs a torch re-enactment of STFTLearner.data_preprocess."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from sarssl_tpu.ops import stft_features, FeatureConfig
+
+
+def _torch_preprocess(sig, eps=1e-6):
+    """Oracle reproducing learner.py:525-553 semantics with torch ops."""
+    import torch
+
+    x = torch.from_numpy(sig)
+    win = torch.hann_window(512)
+    chs = [
+        torch.stft(x[:, :, c], n_fft=512, hop_length=256, win_length=512,
+                   window=win, center=False, return_complex=True)
+        for c in range(x.shape[-1])
+    ]
+    stft = torch.stack(chs, dim=1)  # (nb, nch, nf, nt)
+    mag = torch.abs(stft[:, 0:1])
+    mean = mag.reshape(mag.shape[0], -1).mean(dim=1)[:, None, None, None]
+    stft = stft / (mean + eps)
+    # 2-ch: AddChToBatch('M') is identity
+    reim = torch.view_as_real(stft)  # (nb, nch, nf, nt, 2)
+    return reim[:, :, 1:257].numpy()
+
+
+def test_features_match_torch_oracle():
+    rng = np.random.default_rng(0)
+    sig = rng.standard_normal((2, 4096, 2)).astype(np.float32) * 0.1
+    ours = np.asarray(stft_features(jnp.asarray(sig)))
+    ref = _torch_preprocess(sig)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=0)
+
+
+def test_features_full_shape():
+    cfg = FeatureConfig()
+    sig = jnp.zeros((2, 65792, 2))
+    out = stft_features(sig, cfg)
+    assert out.shape == (2, 2, 256, 256, 2)
+
+
+def test_features_4ch_pairs():
+    sig = jnp.zeros((2, 4096, 4))
+    out = stft_features(sig)
+    assert out.shape == (6, 2, 256, 15, 2)
