@@ -1,0 +1,80 @@
+"""Benchmark: pretrain utterances/sec/chip for the flagship SARSSL model.
+
+Runs the full-size configuration from the reference drivers
+(/root/reference/code/run_pretrain.py:66-79): batch 128, T=4.112 s @ 16 kHz
+2-mic waveforms, STFT (512/256/512), dual MC-Conformer encoders
+(spec d=512 x1, spat d=256 x3) and the MLP decoder — one fused jitted train
+step (features + masking + fwd + bwd + Adam), bf16 compute / f32 params.
+
+Prints ONE JSON line:
+  {"metric": "pretrain_utts_per_sec_per_chip", "value": N, "unit": "utt/s",
+   "vs_baseline": N}
+
+vs_baseline compares against REFERENCE_GPU_UPS, an estimate of the PyTorch
+reference's single-GPU throughput (the repo publishes no numbers — see
+BASELINE.md): ~20 GFLOP fwd/utt x3 for training at ~40% TF32 utilization on
+an A100 with DataParallel + per-item Python masking loops ≈ 130 utt/s.
+The BASELINE.json north star is vs_baseline >= 5.
+"""
+import json
+import time
+
+import numpy as np
+
+REFERENCE_GPU_UPS = 130.0
+
+BATCH = 128
+NSAMPLE = 65792  # 4.112 s @ 16 kHz -> 256 STFT frames
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sarssl_tpu.models import SARSSL, SARSSLConfig
+    from sarssl_tpu.ops import FeatureConfig, gen_patch_mask
+    from sarssl_tpu.train import create_train_state, make_pretrain_step
+
+    dev = jax.devices()[0]
+    cfg = SARSSLConfig(dtype="bfloat16")
+    model = SARSSL(cfg)
+    feat_cfg = FeatureConfig()
+
+    nf, nt, nreim, nmic = cfg.sig_shape
+    x0 = jnp.zeros((BATCH, nmic, nf, nt, nreim), jnp.float32)
+    mask0 = gen_patch_mask(jax.random.key(0), BATCH, cfg.npatch,
+                           cfg.effective_nmasked())
+    state = create_train_state(model, jax.random.key(1), x0, mask0)
+    step = make_pretrain_step(model, feat_cfg, donate=True)
+
+    rng = np.random.default_rng(0)
+    wave = jax.device_put(
+        jnp.asarray(rng.standard_normal((BATCH, NSAMPLE, 2), np.float32) * 0.05),
+        dev)
+
+    key = jax.random.key(2)
+    for i in range(WARMUP):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, wave, 1e-3, sub)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, wave, 1e-3, sub)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    ups = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "pretrain_utts_per_sec_per_chip",
+        "value": round(ups, 2),
+        "unit": "utt/s",
+        "vs_baseline": round(ups / REFERENCE_GPU_UPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

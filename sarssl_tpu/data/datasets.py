@@ -1,0 +1,155 @@
+"""File-backed and on-the-fly datasets + batching.
+
+Equivalents of the reference dataset layer (/root/reference/code/dataset.py):
+
+  FixMicSigDataset        — rglob '*.wav' (minus '*_dp.wav') with optional
+                            '{idx}_info.npz' annotations {TDOA,T60,DRR,C50,ABS}
+                            (dataset.py:107-178);
+  OnTheFlyMicSigDataset   — per-index seeded scene synthesis (the v1
+                            fully-on-the-fly pipeline, code_v1/dataset.py);
+  Selecting               — crop transform (dataset.py:386-395);
+  batch_iterator          — shuffled host batching with a worker pool.
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .wavio import read_wav
+from .scene import SceneSynthesizer
+
+TASKS = ("TDOA", "T60", "DRR", "C50", "ABS", "SNR")
+
+
+@dataclass
+class Selecting:
+    """Crop waveforms to a sample range (reference dataset.py:386-395)."""
+    select_range: Tuple[int, int]
+
+    def __call__(self, sig: np.ndarray) -> np.ndarray:
+        st, ed = self.select_range
+        return sig[st:ed]
+
+
+class FixMicSigDataset:
+    """Pre-generated wav (+ info npz) tree."""
+
+    def __init__(self, data_dir: str, load_anno: bool = False,
+                 fs: int = 16000, data_num: Optional[int] = None,
+                 transforms: Sequence = ()):  # noqa: D401
+        self.data_paths = sorted(
+            p for p in Path(data_dir).rglob("*.wav")
+            if not p.name.endswith("_dp.wav"))
+        if data_num is not None:
+            self.data_paths = self.data_paths[:data_num]
+        assert self.data_paths, f"no wav files under {data_dir}"
+        self.load_anno = load_anno
+        self.fs = fs
+        self.transforms = list(transforms)
+
+    def __len__(self):
+        return len(self.data_paths)
+
+    def __getitem__(self, idx: int):
+        path = self.data_paths[idx]
+        sig, fs = read_wav(str(path))
+        assert fs == self.fs, f"{path}: fs {fs} != {self.fs}"
+        for t in self.transforms:
+            sig = t(sig)
+        if not self.load_anno:
+            return sig.astype(np.float32)
+        info_path = str(path).replace(".wav", "_info.npz")
+        annos: Dict[str, float] = {}
+        if os.path.exists(info_path):
+            info = np.load(info_path, allow_pickle=True)
+            for k in TASKS:
+                key = "T60_edc" if (k == "T60" and "T60_edc" in info) else k
+                annos[k] = (np.float32(info[key]) if key in info
+                            else np.float32(np.nan))
+        else:
+            annos = {k: np.float32(np.nan) for k in TASKS}
+        return sig.astype(np.float32), annos
+
+
+class OnTheFlyMicSigDataset:
+    """Per-index seeded scene synthesis — no files needed."""
+
+    def __init__(self, synthesizer: SceneSynthesizer, length: int,
+                 seed: int = 1, transforms: Sequence = ()):  # noqa: D401
+        self.synth = synthesizer
+        self.length = length
+        self.seed = seed
+        self.transforms = list(transforms)
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx: int):
+        sig, info = self.synth.generate(self.seed + idx)
+        for t in self.transforms:
+            sig = t(sig)
+        annos = {k: np.float32(info.get(k if k != "T60" else "T60_edc",
+                                        np.nan)) for k in TASKS}
+        return sig.astype(np.float32), annos
+
+
+def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
+                   seed: int = 0, drop_last: bool = True,
+                   num_workers: int = 0, with_labels: Optional[bool] = None
+                   ) -> Iterator:
+    """Yield (wave (nb, nsample, nch)[, labels dict of (nb,)]) host batches.
+
+    Replaces torch DataLoader (reference run_pretrain.py:191-199) with a
+    thread pool; items are decoded/synthesized concurrently while the
+    accelerator runs the previous step.
+    """
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    if drop_last:
+        order = order[: (n // batch_size) * batch_size]
+
+    def fetch(i):
+        return dataset[int(i)]
+
+    def collate(items):
+        first = items[0]
+        if isinstance(first, tuple):
+            waves = np.stack([it[0] for it in items])
+            keys = first[1].keys()
+            labels = {k: np.stack([it[1][k] for it in items]) for k in keys}
+            return waves, labels
+        return np.stack(items)
+
+    if num_workers <= 0:
+        for s in range(0, len(order), batch_size):
+            idxs = order[s: s + batch_size]
+            if len(idxs) < batch_size and drop_last:
+                break
+            yield collate([fetch(i) for i in idxs])
+        return
+
+    with cf.ThreadPoolExecutor(num_workers) as pool:
+        batches = [order[s: s + batch_size]
+                   for s in range(0, len(order), batch_size)
+                   if len(order[s: s + batch_size]) == batch_size or not drop_last]
+        futures: List = []
+        PREFETCH = 4
+        it = iter(batches)
+        for _ in range(PREFETCH):
+            b = next(it, None)
+            if b is None:
+                break
+            futures.append(pool.map(fetch, b))
+        while futures:
+            items = list(futures.pop(0))
+            b = next(it, None)
+            if b is not None:
+                futures.append(pool.map(fetch, b))
+            yield collate(items)

@@ -1,0 +1,93 @@
+"""Noise synthesis: spatial white and isotropic diffuse noise, SNR mixing.
+
+Diffuse noise follows the ANF-generator method used by the reference
+(/root/reference/code/data_generation/utils_noise.py:141-253): build the
+desired spatial-coherence matrix (sinc for a spherical field, Bessel J0 for
+cylindrical), Cholesky-factor it per frequency, and mix M independent noise
+channels in the STFT domain. SNR is set against direct-path signal power
+(utils_noise.py:157-176).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import scipy.linalg
+import scipy.signal
+import scipy.special
+
+
+def spatial_white(rng: np.random.Generator, nsample: int, nmic: int) -> np.ndarray:
+    return rng.standard_normal((nsample, nmic))
+
+
+def desired_spatial_coherence(mic_pos: np.ndarray, w_rad: np.ndarray,
+                              c: float = 343.0,
+                              field: str = "spherical") -> np.ndarray:
+    """(nmic, nmic, nf) coherence matrix."""
+    M = mic_pos.shape[0]
+    dist = np.linalg.norm(mic_pos[:, None, :] - mic_pos[None, :, :], axis=-1)
+    arg = w_rad[None, None, :] * dist[:, :, None] / c
+    if field == "spherical":
+        DC = np.sinc(arg / math.pi)
+    elif field == "cylindrical":
+        DC = scipy.special.jn(0, arg)
+    else:
+        raise ValueError(field)
+    for p in range(M):
+        DC[p, p, :] = 1.0
+    return DC
+
+
+def mix_matrix(DC: np.ndarray) -> np.ndarray:
+    """Per-frequency Cholesky factors (nf, nmic, nmic)."""
+    M, _, nf = DC.shape
+    C = np.zeros((nf, M, M), complex)
+    for k in range(1, nf):
+        # tiny diagonal loading for numerical PD-ness at high coherence
+        C[k] = scipy.linalg.cholesky(DC[:, :, k] + 1e-10 * np.eye(M))
+    return C
+
+
+def diffuse_noise(rng: np.random.Generator, nsample: int, mic_pos: np.ndarray,
+                  fs: int, c: float = 343.0, nfft: int = 256,
+                  field: str = "spherical", eps: float = 1e-8) -> np.ndarray:
+    """Isotropic diffuse noise (nsample, nmic), peak-normalized."""
+    M = mic_pos.shape[0]
+    src = rng.standard_normal((nsample, M))
+    w_rad = 2 * math.pi * fs * np.arange(nfft // 2 + 1) / nfft
+    DC = desired_spatial_coherence(mic_pos, w_rad, c, field)
+    C = mix_matrix(DC)
+
+    _, _, N = scipy.signal.stft(src.T, window="hann", nperseg=nfft,
+                                noverlap=int(0.75 * nfft), nfft=nfft)
+    X = np.einsum("fmn,mft->nft", np.conj(C), N)
+    _, out = scipy.signal.istft(X, window="hann", nperseg=nfft,
+                                noverlap=int(0.75 * nfft), nfft=nfft)
+    out = out.T[:nsample]
+    if out.shape[0] < nsample:
+        out = np.pad(out, ((0, nsample - out.shape[0]), (0, 0)))
+    return out / (np.max(np.abs(out)) + eps)
+
+
+def add_noise(mic_sig_clean: np.ndarray, noise: np.ndarray, snr_db: float,
+              mic_sig_dp: Optional[np.ndarray] = None,
+              eps: float = 1e-10) -> np.ndarray:
+    """Mix noise at the given SNR vs direct-path (or clean) signal power."""
+    nsample = mic_sig_clean.shape[0]
+    ref = mic_sig_dp if mic_sig_dp is not None else mic_sig_clean
+    av_pow = np.mean(np.sum(ref ** 2, axis=0) / nsample)
+    av_pow_noise = np.mean(np.sum(noise ** 2, axis=0) / nsample)
+    scaled = np.sqrt(av_pow / (10 ** (snr_db / 10))) / (np.sqrt(av_pow_noise) + eps) * noise
+    return mic_sig_clean + scaled[:nsample]
+
+
+def measured_coherence(noise: np.ndarray, nfft: int = 256):
+    """Empirical real coherence between channels 0 and 1 (for tests,
+    mirrors the reference's _sc_test, utils_noise.py:255-272)."""
+    _, _, X = scipy.signal.stft(noise[:, :2].T, window="hann", nperseg=nfft,
+                                noverlap=int(0.75 * nfft), nfft=nfft)
+    phi = np.mean(np.abs(X) ** 2, axis=2)
+    psi = np.mean(X[0] * np.conj(X[1]), axis=-1)
+    return np.real(psi / np.sqrt(phi[0] * phi[1] + 1e-12))

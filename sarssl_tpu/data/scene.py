@@ -1,0 +1,108 @@
+"""End-to-end microphone-signal synthesis for one acoustic scene.
+
+Pipeline (mirrors reference ``MicrophoneSignalOrRIR.generate_microphone_signal``
+/root/reference/code/data_generation/utils_simu_rir_sig.py:749-861):
+regenerate-until-valid RIR (nan/inf/zero + T60-EDC envelope checks), source
+convolution, diffuse noise at a random SNR vs direct-path power, 0.9 peak
+normalization, and TDOA/DRR/C50/T60/ABS annotations.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from . import ism, noise as noise_mod
+from .annotations import annotate_scene, check_rir_envelope
+from .rooms import AcousticSamplerConfig, sample_acoustic_scene
+
+
+def check_rir(rir: np.ndarray) -> bool:
+    return (np.isfinite(rir).all() and float(np.sum(rir ** 2)) != 0.0)
+
+
+@dataclass
+class SceneSynthesizer:
+    cfg: AcousticSamplerConfig = field(default_factory=AcousticSamplerConfig)
+    T: float = 4.112
+    snr_range: Tuple[float, float] = (15.0, 30.0)
+    noise_type: str = "diffuse_white"
+    max_regen: int = 10
+
+    def generate(self, seed: int,
+                 source_fn: Optional[Callable[[np.random.Generator, int], np.ndarray]] = None,
+                 scene_cfg: Optional[Dict] = None) -> Tuple[np.ndarray, Dict]:
+        """Returns (mic_sig (nsample, nmic) float32, info dict incl. annos).
+
+        source_fn(rng, nsample) -> (nsample, nsrc) source waveforms; defaults
+        to AR-colored Gaussian noise (a WSJ0 reader can be plugged in).
+        """
+        rng = np.random.default_rng(seed)
+        fs, c = self.cfg.fs, self.cfg.c
+        nsample = int(self.T * fs)
+
+        for attempt in range(self.max_regen):
+            cfg = scene_cfg or sample_acoustic_scene(rng, self.cfg)
+            rir = ism.simulate_rir(cfg["room_sz"], cfg["beta"],
+                                   cfg["src_traj_pts"], cfg["mic_pos"], fs,
+                                   cfg["T60_sabine"], c, self.cfg.ism_db,
+                                   rng=rng)
+            rir_dp = ism.simulate_rir(cfg["room_sz"], cfg["beta"],
+                                      cfg["src_traj_pts"], cfg["mic_pos"], fs,
+                                      cfg["T60_sabine"], c, self.cfg.ism_db,
+                                      dp_only=True, rng=rng)
+            if not (check_rir(rir) and check_rir(rir_dp)):
+                scene_cfg = None
+                continue
+            ok, t60_edc = check_rir_envelope(rir, cfg["T60_specify"], fs)
+            if ok:
+                break
+            scene_cfg = None
+        else:
+            raise RuntimeError("could not generate a valid RIR")
+        cfg["T60_edc"] = t60_edc
+
+        nsrc = cfg["src_traj_pts"].shape[-1]
+        if source_fn is None:
+            source_fn = _default_source
+        src = source_fn(rng, nsample)[:, :nsrc]
+
+        mic_clean, _ = ism.rir_conv_src(rir, src, fs)
+        mic_dp, _ = ism.rir_conv_src(rir_dp, src, fs)
+
+        if self.noise_type == "diffuse_white":
+            noi = noise_mod.diffuse_noise(rng, nsample, cfg["mic_pos"], fs, c)
+        elif self.noise_type == "spatial_white":
+            noi = noise_mod.spatial_white(rng, nsample, cfg["mic_pos"].shape[0])
+        elif self.noise_type == "":
+            noi = np.zeros((nsample, cfg["mic_pos"].shape[0]))
+        else:
+            raise ValueError(self.noise_type)
+        snr = rng.uniform(*self.snr_range)
+        mic_sig = noise_mod.add_noise(mic_clean, noi, snr, mic_sig_dp=mic_dp)
+
+        peak = max(np.abs(mic_sig).max(), np.abs(mic_dp).max(), 1e-9)
+        mic_sig = (mic_sig / peak * 0.9).astype(np.float32)
+        mic_dp = (mic_dp / peak * 0.9).astype(np.float32)
+
+        annos = annotate_scene(cfg, rir, rir_dp, fs, c)
+        info = {"SNR": np.float32(snr), "T60_specify": cfg["T60_specify"],
+                "T60_sabine": cfg["T60_sabine"], "T60_edc": t60_edc,
+                "room_sz": np.asarray(cfg["room_sz"], np.float32),
+                "mic_pos": cfg["mic_pos"].astype(np.float32),
+                "array_pos": cfg["array_pos"].astype(np.float32),
+                "src_traj_pts": cfg["src_traj_pts"].astype(np.float32),
+                **annos}
+        return mic_sig, {"mic_sig_dp": mic_dp, **info}
+
+
+def _default_source(rng: np.random.Generator, nsample: int) -> np.ndarray:
+    """AR(1)-colored Gaussian 'speech-like' source."""
+    x = rng.standard_normal((nsample, 1)).astype(np.float32)
+    for _ in range(2):
+        x[1:] += 0.8 * x[:-1]
+    # slow amplitude modulation approximating speech energy contours
+    t = np.arange(nsample) / nsample
+    env = 0.4 + 0.6 * (0.5 + 0.5 * np.sin(2 * np.pi * (3 * t + rng.random())))
+    return (x * env[:, None]).astype(np.float32)

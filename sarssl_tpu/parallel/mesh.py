@@ -1,0 +1,126 @@
+"""Device meshes and sharding rules.
+
+The reference's only parallelism is single-process ``torch.nn.DataParallel``
+(/root/reference/code/learner.py:25-31). The TPU-native design replaces it
+with a 2-D ``('data', 'model')`` mesh:
+
+  * ``data``  — batch dimension of the waveform batch (pure DP; gradients are
+    reduced by XLA-inserted collectives over ICI).
+  * ``model`` — Megatron-style tensor parallelism over attention heads and
+    feed-forward hidden units: column-parallel qkv/ff-in kernels, row-parallel
+    out/ff-out kernels. With ``model=1`` this degenerates to replication.
+
+Sharding is expressed as NamedShardings on the TrainState and batch; GSPMD
+propagates through the jitted step and inserts psum/all-gather where needed.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_data is None:
+        n_data = n // n_model
+    assert n_data * n_model <= n, (n_data, n_model, n)
+    grid = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+# --- tensor-parallel rules -------------------------------------------------
+
+_COL_PARALLEL_KERNELS = (  # shard output features over 'model'
+    ("mhsa", "query", "kernel"), ("mhsa", "key", "kernel"),
+    ("mhsa", "value", "kernel"), ("mhsa", "pos", "kernel"),
+    ("ff1", "Dense_0", "kernel"), ("ff2", "Dense_0", "kernel"),
+    ("proj0", "kernel"),
+)
+_ROW_PARALLEL_KERNELS = (  # shard input features over 'model'
+    ("mhsa", "out", "kernel"),
+    ("ff1", "Dense_1", "kernel"), ("ff2", "Dense_1", "kernel"),
+    ("proj1", "kernel"),
+)
+_COL_PARALLEL_BIASES = (
+    ("ff1", "Dense_0", "bias"), ("ff2", "Dense_0", "bias"),
+    ("mhsa", "query", "bias"), ("mhsa", "key", "bias"),
+    ("mhsa", "value", "bias"), ("proj0", "bias"),
+)
+
+
+def _endswith(path: Tuple[str, ...], suffix: Tuple[str, ...]) -> bool:
+    return len(path) >= len(suffix) and tuple(path[-len(suffix):]) == suffix
+
+
+def param_pspec(path: Tuple[str, ...], leaf) -> P:
+    """PartitionSpec for one parameter leaf under ('data','model')."""
+    ndim = np.ndim(leaf)
+    for suf in _COL_PARALLEL_KERNELS:
+        if _endswith(path, suf) and ndim == 2:
+            return P(None, MODEL_AXIS)
+    for suf in _ROW_PARALLEL_KERNELS:
+        if _endswith(path, suf) and ndim == 2:
+            return P(MODEL_AXIS, None)
+    for suf in _COL_PARALLEL_BIASES:
+        if _endswith(path, suf) and ndim == 1:
+            return P(MODEL_AXIS)
+    return P()  # replicate
+
+
+def _tree_paths_map(fn, tree):
+    """Map fn(path_of_str, leaf) over a pytree with string key paths."""
+    def keystr(kp):
+        out = []
+        for k in kp:
+            if hasattr(k, "key"):
+                out.append(str(k.key))
+            elif hasattr(k, "idx"):
+                out.append(str(k.idx))
+            elif hasattr(k, "name"):
+                out.append(str(k.name))
+            else:
+                out.append(str(k))
+        return tuple(out)
+
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, leaf: fn(keystr(kp), leaf), tree)
+
+
+def param_shardings(mesh: Mesh, params):
+    """Pytree of NamedShardings for a parameter tree."""
+    return _tree_paths_map(
+        lambda path, leaf: NamedSharding(mesh, param_pspec(path, leaf)), params)
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Place a TrainState on the mesh: TP-sharded params, everything else
+    replicated except optimizer moments, which follow their parameters."""
+    p_sh = param_shardings(mesh, state.params)
+    rep = NamedSharding(mesh, P())
+
+    params = jax.device_put(state.params, p_sh)
+    batch_stats = jax.device_put(state.batch_stats, rep)
+
+    def opt_leaf_sharding(path, leaf):
+        # Adam mu/nu live under .../mu/<param path>, same shapes as params.
+        return NamedSharding(mesh, param_pspec(path, leaf)
+                             if np.ndim(leaf) >= 1 else P())
+
+    opt_state = jax.device_put(
+        state.opt_state, _tree_paths_map(opt_leaf_sharding, state.opt_state))
+    step = jax.device_put(state.step, rep)
+    return state.replace(params=params, batch_stats=batch_stats,
+                         opt_state=opt_state, step=step), p_sh

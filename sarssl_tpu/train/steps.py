@@ -1,0 +1,133 @@
+"""Jitted train/eval steps.
+
+One step = STFT features -> mask sampling -> forward -> loss -> grads ->
+optimizer update, all fused under a single ``jax.jit``. This replaces the
+reference hot loop (learner.py:76-131 calling model.py:519-601) where
+preprocessing, masking and the gather loss each made separate passes with
+host-side Python loops.
+
+The raw waveform batch is the step input; everything else happens on device.
+Steps take ``lr`` as a traced scalar so per-epoch schedules don't recompile.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.features import FeatureConfig, stft_features
+from ..ops.mask import gen_patch_mask
+
+
+def pretrain_step_body(model, feat_cfg: FeatureConfig, mask_mode: str = "T"):
+    """Un-jitted step body (reused by parallel.steps with shardings)."""
+    cfg = model.cfg
+    nmasked = cfg.effective_nmasked()
+
+    def step(state, wave_batch, lr, rng):
+        """wave_batch: (nb, nsample, nch) float32. Returns (state, metrics)."""
+        feats = stft_features(wave_batch, feat_cfg)  # (nb', 2, nf, nt, 2)
+        nb = feats.shape[0]
+        rng_mask, rng_drop = jax.random.split(rng)
+        mask = gen_patch_mask(rng_mask, nb, cfg.npatch, nmasked,
+                              nmic=2, mode=mask_mode)
+
+        def loss_fn(params):
+            (loss, diff, _), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                feats, mask, True,
+                rngs={"dropout": rng_drop}, mutable=["batch_stats"],
+            )
+            return loss, (diff, mut)
+
+        (loss, (diff, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_state = state.apply_gradients(grads, lr=lr).replace(
+            batch_stats=mut["batch_stats"])
+        return new_state, {"loss": loss, "diff": diff}
+
+    return step
+
+
+def make_pretrain_step(model, feat_cfg: FeatureConfig, mask_mode: str = "T",
+                       donate: bool = True):
+    return jax.jit(pretrain_step_body(model, feat_cfg, mask_mode),
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_pretrain_eval_step(model, feat_cfg: FeatureConfig, mask_mode: str = "T"):
+    cfg = model.cfg
+    nmasked = cfg.effective_nmasked()
+
+    def step(state, wave_batch, rng):
+        feats = stft_features(wave_batch, feat_cfg)
+        nb = feats.shape[0]
+        mask = gen_patch_mask(rng, nb, cfg.npatch, nmasked, nmic=2, mode=mask_mode)
+        loss, diff, aux = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            feats, mask, False)
+        return {"loss": loss, "diff": diff}
+
+    return jax.jit(step)
+
+
+def _target_transform(task: str, gt):
+    """Reference get_tar_batch (learner.py:620-631): TDOA in samples."""
+    gt = gt.reshape(gt.shape[0], -1)[:, :1]
+    if task == "TDOA":
+        return gt * 16000.0
+    return gt
+
+
+def downstream_step_body(model, feat_cfg: FeatureConfig, task: str = "TDOA",
+                         trainable_mask=None):
+    """Un-jitted step body. trainable_mask: optional pytree of bools matching
+    params; False leaves get zero updates (lineareval freezing, reference
+    learner.py:427-446)."""
+
+    def step(state, wave_batch, gt_batch, lr, rng):
+        feats = stft_features(wave_batch, feat_cfg)
+        tar = _target_transform(task, gt_batch)
+
+        def loss_fn(params):
+            (pred, _), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                feats, None, True,
+                rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
+            loss = jnp.mean((pred - jax.lax.stop_gradient(tar)) ** 2)
+            return loss, (pred, mut)
+
+        (loss, (pred, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        if trainable_mask is not None:
+            grads = jax.tree.map(
+                lambda g, m: g * jnp.asarray(m, g.dtype), grads, trainable_mask)
+        new_state = state.apply_gradients(grads, lr=lr).replace(
+            batch_stats=mut["batch_stats"])
+        mae = jnp.mean(jnp.abs(pred - tar))
+        return new_state, {"loss": loss, "mae": mae}
+
+    return step
+
+
+def make_downstream_step(model, feat_cfg: FeatureConfig, task: str = "TDOA",
+                         donate: bool = True, trainable_mask=None):
+    return jax.jit(downstream_step_body(model, feat_cfg, task, trainable_mask),
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_downstream_eval_step(model, feat_cfg: FeatureConfig, task: str = "TDOA"):
+    def step(state, wave_batch, gt_batch):
+        feats = stft_features(wave_batch, feat_cfg)
+        tar = _target_transform(task, gt_batch)
+        pred, embed = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            feats, None, False)
+        return {"loss": jnp.mean((pred - tar) ** 2),
+                "mae": jnp.mean(jnp.abs(pred - tar)),
+                "pred": pred, "embed": embed}
+
+    return jax.jit(step)

@@ -1,0 +1,149 @@
+"""Acoustics engine: sampler validity, ISM physics, noise coherence,
+annotation math, native/numpy parity, end-to-end scene synthesis."""
+import numpy as np
+import pytest
+
+from sarssl_tpu.data.rooms import (AcousticSamplerConfig, beta_sabine,
+                                   sabine_t60, sample_acoustic_scene)
+from sarssl_tpu.data import ism, native
+from sarssl_tpu.data.noise import (diffuse_noise, measured_coherence,
+                                   add_noise, desired_spatial_coherence)
+from sarssl_tpu.data.annotations import (tdoa_from_geometry, t60_from_rir,
+                                         drr, c50, mean_absorption)
+from sarssl_tpu.data.scene import SceneSynthesizer
+
+FS = 16000
+CFG = AcousticSamplerConfig(
+    room_sz_range=((4.0, 6.0), (4.0, 6.0), (2.5, 3.0)),
+    T60_range=(0.3, 0.5),
+)
+
+
+def test_beta_sabine_inverts():
+    room = [5.0, 4.0, 3.0]
+    for t60 in (0.3, 0.6, 1.0):
+        beta = beta_sabine(room, t60, [1.0] * 6)
+        assert sabine_t60(room, 1 - beta ** 2) == pytest.approx(t60, abs=0.02)
+
+
+def test_sampler_produces_valid_scene():
+    cfg = sample_acoustic_scene(0, CFG)
+    assert cfg["room_sz"].shape == (3,)
+    assert cfg["mic_pos"].shape == (2, 3)
+    assert cfg["src_traj_pts"].shape == (1, 3, 1)
+    # mics inside the room
+    assert np.all(cfg["mic_pos"] > 0) and np.all(cfg["mic_pos"] < cfg["room_sz"])
+    # mic spacing respects scale of the +/-5cm template
+    d = np.linalg.norm(cfg["mic_pos"][0] - cfg["mic_pos"][1])
+    assert 0.03 - 1e-6 <= d <= 0.20 + 1e-6
+
+
+def test_ism_direct_path_delay():
+    """Direct-path RIR peak lands at dist/c with 1/(4 pi d) amplitude."""
+    src = np.array([2.0, 3.0, 1.5])
+    mic = np.array([[1.0, 1.0, 1.0]])
+    rir = ism.simulate_rir_single([5, 5, 3], [0.9] * 6, src, mic, FS,
+                                  T60=0.4, dp_only=True)
+    dist = np.linalg.norm(src - mic[0])
+    peak = np.argmax(rir[0])
+    assert abs(peak - dist / 343.0 * FS) <= 1
+    assert rir[0, peak] == pytest.approx(1 / (4 * np.pi * dist), rel=0.05)
+
+
+def test_ism_t60_matches_specified():
+    """Full ISM+tail RIR must pass the reference's own EDC T60 check."""
+    room = [5.0, 4.0, 3.0]
+    t60_spec = 0.4
+    beta = beta_sabine(room, t60_spec, [1.0] * 6)
+    t60_s = sabine_t60(room, 1 - beta ** 2)
+    rir = ism.simulate_rir_single(room, beta, [2.5, 2.0, 1.5],
+                                  [[1.5, 1.0, 1.2]], FS, T60=t60_s,
+                                  rng=np.random.default_rng(0))
+    t60_est, corr = t60_from_rir(rir[0], FS)
+    assert abs(corr) > 0.9
+    assert t60_est == pytest.approx(t60_spec, abs=0.08)
+
+
+def test_ism_native_matches_numpy():
+    if not native.available():
+        pytest.skip("native lib not built")
+    room = [4.0, 3.5, 2.8]
+    beta = beta_sabine(room, 0.3, [1.0] * 6)
+    args = dict(room_sz=room, beta=beta, src_pos=[2.0, 1.5, 1.4],
+                mic_pos=[[1.0, 1.0, 1.0], [1.1, 1.0, 1.0]], fs=FS,
+                T60=sabine_t60(room, 1 - beta ** 2))
+    rng = np.random.default_rng(7)
+    r_native = ism.simulate_rir_single(**args, rng=np.random.default_rng(1))
+    # force numpy path
+    import sarssl_tpu.data.native as nat
+    saved = nat._LIB
+    try:
+        nat._LIB = None
+        r_numpy = ism.simulate_rir_single(**args, rng=np.random.default_rng(1))
+    finally:
+        nat._LIB = saved
+    n_ism = int(ism.att2t_sabine(12.0, args["T60"]) * FS)  # ISM part only
+    np.testing.assert_allclose(r_native[:, :n_ism], r_numpy[:, :n_ism],
+                               atol=1e-6)
+
+
+def test_diffuse_noise_coherence_matches_sinc():
+    """Generated noise must reproduce the analytic sinc coherence
+    (reference verification plot, utils_noise.py:255-272)."""
+    rng = np.random.default_rng(0)
+    mic_pos = np.array([[0.0, 0.0, 0.0], [0.1, 0.0, 0.0]])
+    noi = diffuse_noise(rng, FS * 4, mic_pos, FS)
+    got = measured_coherence(noi)
+    w_rad = 2 * np.pi * FS * np.arange(129) / 256
+    want = desired_spatial_coherence(mic_pos, w_rad)[0, 1]
+    # skip DC and the highest bins (windowing bias)
+    err = np.abs(got[2:110] - want[2:110])
+    assert err.mean() < 0.08, err.mean()
+
+
+def test_add_noise_snr():
+    rng = np.random.default_rng(0)
+    sig = rng.standard_normal((FS, 2)).astype(np.float32)
+    noi = rng.standard_normal((FS, 2)).astype(np.float32)
+    out = add_noise(sig, noi, snr_db=10.0, mic_sig_dp=sig)
+    added = out - sig
+    snr = 10 * np.log10(np.mean(sig ** 2) / np.mean(added ** 2))
+    assert snr == pytest.approx(10.0, abs=0.5)
+
+
+def test_tdoa_closed_form():
+    mic_pos = np.array([[0.0, 0.0, 0.0], [0.1, 0.0, 0.0]])
+    src = np.array([[[10.0], [0.0], [0.0]]])  # on-axis: TDOA = -0.1/c
+    tdoa = tdoa_from_geometry(src, mic_pos)
+    assert tdoa[0, 0, 0] == pytest.approx(-0.1 / 343.0, rel=1e-6)
+
+
+def test_drr_c50_on_synthetic_rir():
+    """Two-tap RIR: direct at t0 with energy 1, echo at t0+60ms with energy
+    0.25 -> DRR = C50 = 10*log10(4) ~ 6.02 dB."""
+    nsamp = FS
+    t0 = 100
+    rir = np.zeros((1, 1, nsamp, 1))
+    rir[0, 0, t0, 0] = 1.0
+    rir[0, 0, t0 + int(0.06 * FS), 0] = 0.5
+    rir_dp = np.zeros_like(rir)
+    rir_dp[0, 0, t0, 0] = 1.0
+    assert drr(rir, rir_dp, FS)[0, 0] == pytest.approx(6.02, abs=0.1)
+    assert c50(rir, rir_dp, FS)[0, 0] == pytest.approx(6.02, abs=0.1)
+
+
+def test_mean_absorption_formula():
+    assert mean_absorption([5, 4, 3], 0.5) == pytest.approx(
+        0.161 * 60 / (94 * 0.5), rel=1e-6)
+
+
+def test_scene_synthesizer_end_to_end():
+    synth = SceneSynthesizer(cfg=CFG, T=1.04, noise_type="spatial_white")
+    sig, info = synth.generate(seed=3)
+    assert sig.shape == (int(1.04 * FS), 2)
+    assert np.abs(sig).max() == pytest.approx(0.9, abs=0.05)
+    assert np.isfinite(info["TDOA"]) and np.isfinite(info["DRR"])
+    assert abs(info["T60_edc"] - info["T60_specify"]) < 0.05
+    # TDOA bounded by mic spacing / c
+    d = np.linalg.norm(info["mic_pos"][0] - info["mic_pos"][1])
+    assert abs(info["TDOA"]) <= d / 343.0 + 1e-6

@@ -1,0 +1,161 @@
+"""Training runtime: schedules, jitted steps, loss decreases end-to-end,
+checkpoint roundtrip, partial loading, ensembling, early stopping."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sarssl_tpu.models import SARSSL, SARSSLConfig
+from sarssl_tpu.ops import FeatureConfig, gen_patch_mask
+from sarssl_tpu.train import (
+    cosine_schedule, create_train_state, make_pretrain_step,
+    make_pretrain_eval_step, make_downstream_step, make_downstream_eval_step,
+    save_checkpoint, load_checkpoint, partial_load, ensemble_params,
+    EarlyStopping, smooth_data,
+)
+from sarssl_tpu.train.checkpoint import restore_state, latest_path, best_path
+from sarssl_tpu.train.state import make_adam
+from sarssl_tpu.data import synth_batch
+
+NSAMPLE = 2304  # -> nt = (2304-512)/256+1 = 8 frames
+FEAT = FeatureConfig()
+CFG = SARSSLConfig().tiny(sig_shape=(256, 8, 2, 2), patch_shape=(256, 1),
+                          spec_dembed=32, spat_dembed=16)
+
+
+def _state_and_model(pretrain=True, seed=0):
+    cfg = CFG if pretrain else SARSSLConfig(**{**CFG.__dict__, "pretrain": False})
+    model = SARSSL(cfg)
+    nf, nt, nreim, nmic = cfg.sig_shape
+    x = jnp.zeros((2, nmic, nf, nt, nreim))
+    mask = gen_patch_mask(jax.random.key(0), 2, cfg.npatch,
+                          cfg.effective_nmasked()) if pretrain else None
+    state = create_train_state(model, jax.random.key(seed), x, mask)
+    return model, state
+
+
+def test_cosine_schedule_endpoints():
+    sched = cosine_schedule(30, 1e-3)
+    assert sched(0) == pytest.approx(1e-3)
+    assert sched(30) == pytest.approx(0.0, abs=1e-9)
+    assert sched(15) == pytest.approx(5e-4, rel=1e-6)
+
+
+def test_pretrain_loss_decreases():
+    model, state = _state_and_model()
+    step = make_pretrain_step(model, FEAT, donate=False)
+    rng = np.random.default_rng(0)
+    wave, _ = synth_batch(rng, 8, NSAMPLE)
+    wave = jnp.asarray(wave)
+    losses = []
+    key = jax.random.key(1)
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        state, m = step(state, wave, 1e-3, sub)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8, losses
+
+
+def test_downstream_step_runs_and_learns():
+    model, state = _state_and_model(pretrain=False)
+    step = make_downstream_step(model, FEAT, task="TDOA", donate=False)
+    eval_step = make_downstream_eval_step(model, FEAT, task="TDOA")
+    rng = np.random.default_rng(0)
+    wave, tdoa = synth_batch(rng, 8, NSAMPLE)
+    wave, gt = jnp.asarray(wave), jnp.asarray(tdoa / 16000.0)
+    key = jax.random.key(0)
+    first = None
+    for i in range(25):
+        key, sub = jax.random.split(key)
+        state, m = step(state, wave, gt, 1e-3, sub)
+        if first is None:
+            first = float(m["loss"])
+    final = eval_step(state, wave, gt)
+    assert float(final["loss"]) < first
+
+
+def test_lr_change_does_not_recompile():
+    model, state = _state_and_model()
+    step = make_pretrain_step(model, FEAT, donate=False)
+    wave = jnp.asarray(synth_batch(np.random.default_rng(0), 4, NSAMPLE)[0])
+    key = jax.random.key(0)
+    state, _ = step(state, wave, 1e-3, key)
+    n0 = step._cache_size()
+    state, _ = step(state, wave, 5e-4, key)
+    assert step._cache_size() == n0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model, state = _state_and_model()
+    d = str(tmp_path)
+    save_checkpoint(d, state, epoch=3, max_score=-0.5, is_best=True)
+    assert os.path.exists(latest_path(d)) and os.path.exists(best_path(d))
+    payload = load_checkpoint(latest_path(d))
+    assert payload["meta"]["epoch"] == 3
+    _, fresh = _state_and_model(seed=1)
+    restored = restore_state(fresh, payload)
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_partial_load_pretrain_to_downstream(tmp_path):
+    """Encoder weights transfer across pretext->downstream pytree changes
+    (reference run_downstream.py:253-256)."""
+    from flax import serialization
+
+    _, pre_state = _state_and_model(pretrain=True)
+    _, ds_state = _state_and_model(pretrain=False, seed=7)
+    src_sd = serialization.to_state_dict(jax.device_get(pre_state.params))
+    new_params, loaded = partial_load(ds_state.params, src_sd)
+    assert any(k.startswith("spec_encoder") for k in loaded)
+    assert any(k.startswith("spat_encoder") for k in loaded)
+    assert not any(k.startswith("decoder") for k in loaded)  # ds model has no decoder
+    # loaded encoder weights equal the pretrain ones
+    pre_flat = {
+        "/".join(map(str, k)): v for k, v in
+        serialization.to_state_dict(jax.device_get(pre_state.params)).items()}
+    got = serialization.to_state_dict(jax.device_get(new_params))
+    from flax.traverse_util import flatten_dict
+    got_flat = flatten_dict(got)
+    src_flat = flatten_dict(src_sd)
+    for k in got_flat:
+        if k in src_flat and "/".join(map(str, k)) in loaded:
+            np.testing.assert_array_equal(got_flat[k], src_flat[k])
+
+
+def test_ensemble_params_is_mean():
+    _, s1 = _state_and_model(seed=1)
+    _, s2 = _state_and_model(seed=2)
+    avg = ensemble_params([jax.device_get(s1.params), jax.device_get(s2.params)])
+    l1 = jax.tree.leaves(jax.device_get(s1.params))[0]
+    l2 = jax.tree.leaves(jax.device_get(s2.params))[0]
+    la = jax.tree.leaves(avg)[0]
+    np.testing.assert_allclose(la, (np.asarray(l1) + np.asarray(l2)) / 2, rtol=1e-6)
+
+
+def test_early_stopping_and_smoothing():
+    es = EarlyStopping(patience=3)
+    assert es.update(1.0)
+    assert not es.update(0.5)
+    assert not es.update(0.4)
+    assert not es.update(0.3)
+    assert es.stopped
+    s = smooth_data([1.0, 0.0, 0.0, 0.0], alpha=0.5)
+    assert s == [1.0, 0.5, 0.25, 0.125]
+
+
+def test_fresh_optimizer_reset():
+    model, state = _state_and_model()
+    step = make_pretrain_step(model, FEAT, donate=False)
+    wave = jnp.asarray(synth_batch(np.random.default_rng(0), 4, NSAMPLE)[0])
+    state, _ = step(state, wave, 1e-3, jax.random.key(0))
+    mu = jax.tree.leaves(state.opt_state.inner_state)[0]
+    assert float(jnp.abs(mu).max()) > 0
+    state2 = state.reset_optimizer()
+    mu2 = jax.tree.leaves(state2.opt_state.inner_state)[0]
+    assert float(jnp.abs(mu2).max()) == 0
