@@ -58,13 +58,15 @@ def main():
     for i in range(WARMUP):
         key, sub = jax.random.split(key)
         state, metrics = step(state, wave, 1e-3, sub)
-    jax.block_until_ready(metrics["loss"])
+    # NOTE: jax.block_until_ready does not synchronize on the axon TPU
+    # tunnel backend; a host fetch of the scalar loss does.
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         key, sub = jax.random.split(key)
         state, metrics = step(state, wave, 1e-3, sub)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     ups = BATCH * ITERS / dt

@@ -1,0 +1,245 @@
+"""Downstream fine-tuning / linear-eval CLI.
+
+Equivalent of /root/reference/code/run_downstream.py: per-task regression
+(TDOA/DRR/T60/C50/ABS) over an lr x bs x trial grid, loading pretrained
+encoder weights (finetune/lineareval) or training from scratch (scratchlow),
+with smoothed-val early stopping, the two-stage lr/10 drop, last-5-best
+ensembling, and a final grid summary saved as .mat + JSON.
+
+Usage:
+  python -m sarssl_tpu.cli.run_downstream --ds-train --ds-task TDOA \
+      --pretrain-ckpt DIR [--data-dir DATA | --synthetic] [...]
+  python -m sarssl_tpu.cli.run_downstream --smoke
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("sarssl_tpu downstream")
+    p.add_argument("--ds-train", action="store_true")
+    p.add_argument("--ds-test", action="store_true")
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--ds-task", type=str, default="TDOA",
+                   choices=["TDOA", "DRR", "T60", "C50", "ABS", "SNR"])
+    p.add_argument("--ds-trainmode", type=str, default="finetune",
+                   choices=["finetune", "lineareval", "scratchlow"])
+    p.add_argument("--ds-embed", type=str, default="spec_spat",
+                   choices=["spec_spat", "spec", "spat", "noinfo"])
+    p.add_argument("--pretrain-ckpt", type=str, default=None,
+                   help="pretrain checkpoint dir (best_model used)")
+    p.add_argument("--data-dir", type=str, default=None)
+    p.add_argument("--val-data-dir", type=str, default=None)
+    p.add_argument("--test-data-dir", type=str, default=None)
+    p.add_argument("--exp-dir", type=str, default="exp/downstream")
+    p.add_argument("--ds-nsimroom", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--lr-set", type=float, nargs="+", default=None)
+    p.add_argument("--bs-set", type=int, nargs="+", default=None)
+    p.add_argument("--ntrial", type=int, default=None)
+    p.add_argument("--train-num", type=int, default=None)
+    p.add_argument("--T", type=float, default=None,
+                   help="clip seconds (default: task standard — 1.04 for "
+                        "TDOA, 4.112 otherwise)")
+    p.add_argument("--val-num", type=int, default=1000)
+    p.add_argument("--test-num", type=int, default=4000)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--seed", type=int, default=100)
+    p.add_argument("--dtype", type=str, default="float32")
+    p.add_argument("--cpu", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cpu or args.smoke:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from ..config import (DownstreamConfig, SIM_LR_SET, SIM_BS_SET)
+    from ..models import SARSSL, SARSSLConfig
+    from ..ops import FeatureConfig, gen_patch_mask
+    from ..train import (create_train_state, make_downstream_step,
+                         make_downstream_eval_step, DownstreamLearner)
+    from ..train import checkpoint as ckpt
+    from ..train.checkpoint import (partial_load, trainable_mask_from_loaded,
+                                    load_checkpoint, best_path)
+    from ..train.steps import downstream_step_body
+    from ..utils import MetricLogger, save_config, set_seed
+    from ..data import (FixMicSigDataset, SyntheticPairs, Selecting,
+                        batch_iterator)
+
+    if args.smoke:
+        args.ds_train = True
+        args.synthetic = True
+        args.epochs = 3
+        args.lr_set = [1e-3]
+        args.bs_set = [4]
+        args.ntrial = 1
+        args.train_num = 16
+        args.val_num = 8
+        args.test_num = 8
+
+    cfg = DownstreamConfig(task=args.ds_task, train_mode=args.ds_trainmode,
+                           nsimroom=args.ds_nsimroom, nepoch=args.epochs)
+    lr_set = args.lr_set or list(cfg.lr_set)
+    bs_set = args.bs_set or list(cfg.bs_set)
+    ntrial = args.ntrial or cfg.ntrial
+    train_num = args.train_num or cfg.train_num
+
+    fs = 16000
+    T = args.T or cfg.T
+    nsample = int(T * fs) if not args.smoke else 2304
+    feat_cfg = FeatureConfig()
+    nt = feat_cfg.num_frames(nsample)
+
+    if args.data_dir and not args.smoke:
+        from ..data import FixMicSigDataset as _F
+        probe = _F(args.data_dir, data_num=1)[0]
+        assert probe.shape[0] >= nsample, (
+            f"data under {args.data_dir} has {probe.shape[0]} samples but "
+            f"task '{args.ds_task}' expects >= {nsample} ({T} s @ {fs} Hz); "
+            f"pass --T to match the data")
+
+    if args.smoke:
+        mcfg = SARSSLConfig(dtype="float32", pretrain=False,
+                            downstream_embed=args.ds_embed).tiny(
+            sig_shape=(256, nt, 2, 2), patch_shape=(256, 1),
+            spec_dembed=32, spat_dembed=16, pretrain=False)
+    else:
+        mcfg = SARSSLConfig(sig_shape=(256, nt, 2, 2), dtype=args.dtype,
+                            pretrain=False, downstream_embed=args.ds_embed)
+    model = SARSSL(mcfg)
+    root_key = set_seed(args.seed)
+
+    x0 = jnp.zeros((bs_set[0], 2, 256, nt, 2), jnp.float32)
+    init_state = create_train_state(model, jax.random.key(args.seed), x0, None)
+    init_params_sd = serialization.to_state_dict(
+        jax.device_get(init_state.params))
+
+    # pretrained encoder weights (finetune/lineareval)
+    pre_sd, loaded_keys = None, []
+    if args.pretrain_ckpt and args.ds_trainmode in ("finetune", "lineareval"):
+        payload = load_checkpoint(best_path(args.pretrain_ckpt))
+        pre_sd = payload["params"]
+
+    def fresh_state():
+        params = serialization.from_state_dict(init_state.params, init_params_sd)
+        keys = []
+        if pre_sd is not None:
+            params, keys = partial_load(params, pre_sd)
+        st = init_state.replace(params=params,
+                                opt_state=init_state.tx.init(params))
+        return st, keys
+
+    def make_batches(split, bs, seed):
+        if args.synthetic:
+            num = {"train": train_num, "val": args.val_num,
+                   "test": args.test_num}[split]
+            gen = SyntheticPairs(nsample=nsample, seed=seed)
+            return gen.batches(bs, max(1, num // bs), with_labels=True)
+        data_dir = {"train": args.data_dir,
+                    "val": args.val_data_dir or args.data_dir,
+                    "test": args.test_data_dir or args.data_dir}[split]
+        ds = FixMicSigDataset(data_dir, load_anno=True,
+                              transforms=[Selecting((0, nsample))])
+        return batch_iterator(ds, bs, shuffle=split == "train", seed=seed,
+                              num_workers=args.workers)
+
+    os.makedirs(args.exp_dir, exist_ok=True)
+    save_config(vars(args), os.path.join(args.exp_dir, "config.json"))
+    results = {}
+
+    for trial, bs, lr in itertools.product(range(ntrial), bs_set, lr_set):
+        cell = f"trial{trial}_bs{bs}_lr{lr:g}"
+        cell_dir = os.path.join(args.exp_dir, cell)
+        state, keys = fresh_state()
+        tmask = None
+        if args.ds_trainmode == "lineareval" and keys:
+            tmask = trainable_mask_from_loaded(state.params, keys)
+        train_step = make_downstream_step(model, feat_cfg, task=args.ds_task,
+                                          donate=False, trainable_mask=tmask)
+        eval_step = make_downstream_eval_step(model, feat_cfg, task=args.ds_task)
+
+        def batch_adapter(it):
+            for wave, gt in it:
+                g = gt[args.ds_task] if isinstance(gt, dict) else gt
+                yield jnp.asarray(wave), jnp.asarray(np.asarray(g, np.float32))
+
+        learner = DownstreamLearner(
+            state=state, train_step=train_step, eval_step=eval_step,
+            lr_init=lr, ckpt_dir=os.path.join(cell_dir, "ckpt"),
+            patience=10 if not args.smoke else 2,
+            logger=MetricLogger(os.path.join(cell_dir, "logs"),
+                                use_tensorboard=False))
+
+        for epoch in range(args.epochs):
+            tkey = jax.random.fold_in(root_key, 7000 + epoch)
+            tm = learner.train_epoch(
+                batch_adapter(make_batches("train", bs, args.seed + trial)), tkey)
+            vm = learner.eval_epoch(
+                batch_adapter(make_batches("val", bs, 1)), split="val")
+            stop = learner.end_epoch(vm["mae"])
+            if stop:
+                break
+
+        # ensemble last <=5 best epochs, then final test
+        ens_params = learner.ensemble(k=5)
+        learner.state = learner.state.replace(params=ens_params)
+        test_m = learner.eval_epoch(
+            batch_adapter(make_batches("test", bs, 2)), split="test")
+        val_m = learner.eval_epoch(
+            batch_adapter(make_batches("val", bs, 1)), split="val_final")
+        results[cell] = {"val_mae": val_m["mae"], "test_mae": test_m["mae"],
+                         "lr": lr, "bs": bs, "trial": trial,
+                         "epochs_run": learner.epoch}
+        print(f"{cell}: val MAE {val_m['mae']:.5f} test MAE {test_m['mae']:.5f}")
+        # prune per-epoch checkpoints (reference run_downstream.py:345-354)
+        kept = set(learner.best_epochs[-5:])
+        ckpt.remove_checkpoint_epochs(
+            os.path.join(cell_dir, "ckpt"),
+            [e for e in range(learner.epoch) if e not in kept])
+
+    # grid summary: argmin mean val MAE over (bs, lr)
+    by_cfg = {}
+    for cell, r in results.items():
+        by_cfg.setdefault((r["bs"], r["lr"]), []).append(r)
+    summary = {
+        f"bs{bs}_lr{lr:g}": {
+            "mean_val_mae": float(np.mean([r["val_mae"] for r in rs])),
+            "mean_test_mae": float(np.mean([r["test_mae"] for r in rs])),
+        } for (bs, lr), rs in by_cfg.items()}
+    best_cfg = min(summary, key=lambda k: summary[k]["mean_val_mae"])
+    out = {"task": args.ds_task, "mode": args.ds_trainmode, "cells": results,
+           "summary": summary, "best": best_cfg,
+           "best_test_mae": summary[best_cfg]["mean_test_mae"]}
+    with open(os.path.join(args.exp_dir, "results.json"), "w") as f:
+        json.dump(out, f, indent=2, default=float)
+    try:
+        from scipy.io import savemat
+        savemat(os.path.join(args.exp_dir, "results.mat"),
+                {"results": json.loads(json.dumps(out, default=float))})
+    except Exception as e:  # .mat is a convenience artifact only
+        print("savemat skipped:", e)
+    print(f"BEST {best_cfg}: test MAE {out['best_test_mae']:.5f}")
+
+    if args.smoke:
+        ok = np.isfinite(out["best_test_mae"])
+        print("SMOKE", "PASS" if ok else "FAIL")
+        return 0 if ok else 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

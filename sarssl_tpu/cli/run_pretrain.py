@@ -1,0 +1,234 @@
+"""Pretext pre-training CLI.
+
+Equivalent of /root/reference/code/run_pretrain.py: masked cross-channel
+reconstruction pretraining of the dual-encoder MC-Conformer on simulated
+mic-pair signals, with cosine lr, early stopping, per-epoch checkpoints and
+TensorBoard/JSONL metrics.
+
+Usage:
+  python -m sarssl_tpu.cli.run_pretrain --pretrain --data-dir DATA [...]
+  python -m sarssl_tpu.cli.run_pretrain --pretrain --synthetic  # file-free
+  python -m sarssl_tpu.cli.run_pretrain --smoke                 # tiny e2e run
+  python -m sarssl_tpu.cli.run_pretrain --test --ckpt-dir DIR --data-dir DATA
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("sarssl_tpu pretrain")
+    p.add_argument("--pretrain", action="store_true")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny synthetic end-to-end run (CI)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the file-free synthetic pair generator")
+    p.add_argument("--data-dir", type=str, default=None)
+    p.add_argument("--val-data-dir", type=str, default=None)
+    p.add_argument("--exp-dir", type=str, default="exp/pretrain")
+    p.add_argument("--bs", type=int, default=128)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--train-num", type=int, default=512000)
+    p.add_argument("--val-num", type=int, default=4000)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--seed", type=int, default=100)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--parity", action="store_true",
+                   help="reference quirks: fresh Adam each epoch")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="'DxM' data x model mesh, e.g. 8x1")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import AcousticSetting, PretrainConfig
+    from ..models import SARSSL, SARSSLConfig
+    from ..ops import FeatureConfig, gen_patch_mask
+    from ..train import (create_train_state, make_pretrain_step,
+                         make_pretrain_eval_step, cosine_schedule,
+                         PretrainLearner)
+    from ..train import checkpoint as ckpt
+    from ..utils import MetricLogger, save_config, count_params, set_seed
+    from ..data import (FixMicSigDataset, SyntheticPairs, batch_iterator,
+                        Selecting)
+
+    if args.smoke:
+        args.pretrain = True
+        args.synthetic = True
+        args.epochs = min(args.epochs, 2)
+        args.bs = 4
+        args.train_num = 16
+        args.val_num = 8
+        args.cpu = True
+        jax.config.update("jax_platforms", "cpu")
+
+    ac = AcousticSetting()
+    nsample = ac.nsample if not args.smoke else 2304
+    feat_cfg = FeatureConfig()
+    nt = feat_cfg.num_frames(nsample)
+
+    if args.smoke:
+        mcfg = SARSSLConfig(dtype="float32").tiny(
+            sig_shape=(256, nt, 2, 2), patch_shape=(256, 1),
+            spec_dembed=32, spat_dembed=16)
+    else:
+        mcfg = SARSSLConfig(sig_shape=(256, nt, 2, 2), dtype=args.dtype)
+
+    model = SARSSL(mcfg)
+    root_key = set_seed(args.seed)
+
+    x0 = jnp.zeros((args.bs, 2, 256, nt, 2), jnp.float32)
+    m0 = gen_patch_mask(jax.random.key(0), args.bs, mcfg.npatch,
+                        mcfg.effective_nmasked())
+    state = create_train_state(model, jax.random.key(args.seed), x0, m0,
+                               lr=args.lr)
+    print("# Parameters (M):", count_params(
+        state.params, ["spec_encoder", "spat_encoder", "decoder"]))
+
+    ckpt_dir = os.path.join(args.exp_dir, "checkpoints")
+    log_dir = os.path.join(args.exp_dir, "logs")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    save_config(vars(args), os.path.join(args.exp_dir, "config.json"))
+
+    if args.test:
+        return _pretext_test(args, model, mcfg, feat_cfg, state, nsample)
+
+    mesh = None
+    if args.mesh:
+        from ..parallel import make_mesh, make_sharded_pretrain_step
+        d, m = map(int, args.mesh.split("x"))
+        mesh = make_mesh(n_data=d, n_model=m)
+        train_step, st_sh, b_sh = make_sharded_pretrain_step(
+            model, feat_cfg, mesh, state)
+        state = jax.device_put(state, st_sh)
+    else:
+        train_step = make_pretrain_step(model, feat_cfg)
+    eval_step = make_pretrain_eval_step(model, feat_cfg)
+
+    learner = PretrainLearner(
+        state=state, train_step=train_step, eval_step=eval_step,
+        lr_schedule=cosine_schedule(args.epochs, args.lr),
+        ckpt_dir=ckpt_dir, patience=100,
+        fresh_opt_each_epoch=args.parity,
+        logger=MetricLogger(log_dir))
+
+    if args.resume and os.path.exists(ckpt.latest_path(ckpt_dir)):
+        payload = ckpt.load_checkpoint(ckpt.latest_path(ckpt_dir))
+        learner.state = ckpt.restore_state(learner.state, payload)
+        learner.epoch = payload["meta"]["epoch"] + 1
+        print(f"resumed from epoch {payload['meta']['epoch']}")
+
+    def make_batches(split, epoch):
+        if args.synthetic:
+            num = args.train_num if split == "train" else args.val_num
+            gen = SyntheticPairs(nsample=nsample, seed=args.seed + epoch
+                                 if split == "train" else 1)
+            return gen.batches(args.bs, num // args.bs)
+        data_dir = args.data_dir if split == "train" else (
+            args.val_data_dir or args.data_dir)
+        ds = FixMicSigDataset(data_dir, data_num=args.train_num
+                              if split == "train" else args.val_num,
+                              transforms=[Selecting((0, nsample))])
+        return batch_iterator(ds, args.bs, shuffle=split == "train",
+                              seed=args.seed + epoch, num_workers=args.workers)
+
+    for epoch in range(learner.epoch, args.epochs):
+        tkey = jax.random.fold_in(root_key, epoch)
+        tm = learner.train_epoch(make_batches("train", epoch), tkey)
+        vm = learner.eval_epoch(make_batches("val", epoch),
+                                jax.random.fold_in(root_key, 10_000 + epoch))
+        learner.end_epoch(vm["loss"])
+        print(f"epoch {epoch}: train loss {tm['loss']:.5f} "
+              f"val loss {vm['loss']:.5f} diff {vm['diff']:.5f} "
+              f"lr {tm['lr']:.2e} {tm['utt_per_sec']:.1f} utt/s")
+        if learner.should_stop:
+            print("early stopping")
+            break
+
+    if args.smoke:
+        h = learner.history
+        ok = h["train_loss"][-1] < h["train_loss"][0]
+        print("SMOKE", "PASS" if ok else "FAIL",
+              f"(loss {h['train_loss'][0]:.4f} -> {h['train_loss'][-1]:.4f})")
+        return 0 if ok else 1
+    return 0
+
+
+def _pretext_test(args, model, mcfg, feat_cfg, state, nsample):
+    """--test: reconstruction metrics + wav/plot dumps on held-out data
+    (reference run_pretrain.py:404-483 'all'/'ins' modes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import stft_features, gen_patch_mask
+    from ..train import checkpoint as ckpt
+    from ..train.pretext_eval import pretext_metrics
+    from ..utils.vis import plot_tf_reconstruction
+    from ..ops.patches import patch_recover
+    from ..data import (FixMicSigDataset, SyntheticPairs, Selecting,
+                        batch_iterator, write_wav)
+
+    ckpt_dir = os.path.join(args.exp_dir, "checkpoints")
+    payload = ckpt.load_checkpoint(ckpt.best_path(ckpt_dir))
+    state = ckpt.restore_state(state, payload, restore_opt=False)
+    print(f"loaded best checkpoint (epoch {payload['meta']['epoch']})")
+
+    if args.synthetic:
+        batches = SyntheticPairs(nsample=nsample, seed=1).batches(
+            args.bs, max(1, args.val_num // args.bs))
+    else:
+        ds = FixMicSigDataset(args.data_dir, data_num=args.val_num,
+                              transforms=[Selecting((0, nsample))])
+        batches = batch_iterator(ds, args.bs, shuffle=False,
+                                 num_workers=args.workers)
+
+    out_dir = os.path.join(args.exp_dir, "test_dumps")
+    os.makedirs(out_dir, exist_ok=True)
+    mses, mse_masks = [], []
+    key = jax.random.key(123)
+    for bi, wave in enumerate(batches):
+        key, sub = jax.random.split(key)
+        feats = stft_features(jnp.asarray(wave), feat_cfg)
+        mask = gen_patch_mask(sub, feats.shape[0], mcfg.npatch,
+                              mcfg.effective_nmasked())
+        _, _, aux = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            feats, mask, False)
+        m = pretext_metrics(aux, mcfg.sig_shape, mcfg.patch_shape,
+                            compute_pesq=True)
+        mses.append(m["mse"])
+        mse_masks.append(m["mse_mask"])
+        if bi == 0:  # dump first batch ('ins' mode)
+            nf, nt = mcfg.sig_shape[:2]
+            pred_tf = np.asarray(patch_recover(
+                aux["pred"].astype(jnp.float32), (nf, nt), mcfg.patch_shape))
+            tar_tf = np.asarray(patch_recover(
+                aux["tar"].astype(jnp.float32), (nf, nt), mcfg.patch_shape))
+            plot_tf_reconstruction(pred_tf[0], tar_tf[0], None,
+                                   os.path.join(out_dir, "recon_tf.png"))
+            write_wav(os.path.join(out_dir, "pred0.wav"),
+                      m["sig_pred"][0], 16000)
+            write_wav(os.path.join(out_dir, "tar0.wav"),
+                      m["sig_tar"][0], 16000)
+    print(f"pretext test: mse {np.mean(mses):.6f} "
+          f"masked mse {np.mean(mse_masks):.6f} (dumps in {out_dir})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -4,8 +4,16 @@ from .scene import SceneSynthesizer
 from .datasets import (FixMicSigDataset, OnTheFlyMicSigDataset, Selecting,
                        batch_iterator)
 from .wavio import read_wav, write_wav
+from .real import (RealMicSigDataset, RandomRealDataset, CorpusSpec,
+                   select_mic_pairs, ARRAY_GEOMETRIES, CORPUS_SPECS)
+from .real_rir import NpyRIRDataset, MicSigFromRIRDataset, dp_from_rir
+from .sources import SpeakerTreeDataset
 
 __all__ = [
+    "RealMicSigDataset", "RandomRealDataset", "CorpusSpec",
+    "select_mic_pairs", "ARRAY_GEOMETRIES", "CORPUS_SPECS",
+    "NpyRIRDataset", "MicSigFromRIRDataset", "dp_from_rir",
+    "SpeakerTreeDataset",
     "SyntheticPairs", "synth_batch",
     "AcousticSamplerConfig", "sample_acoustic_scene", "MIC_ARRAY_2CH",
     "SceneSynthesizer",

@@ -143,10 +143,18 @@ def annotate_scene(cfg: Dict, rir: np.ndarray, rir_dp: np.ndarray,
     """Full annotation dict for a static single-source scene (scalars),
     matching the reference's saved ``*_info.npz`` fields."""
     tdoa = tdoa_from_geometry(cfg["src_traj_pts"], cfg["mic_pos"], c)
+    room_sz = np.asarray(cfg["room_sz"], float)
     annos = {
         "TDOA": np.float32(tdoa[0, 0, 0]),
         "DRR": np.float16(drr(rir, rir_dp, fs)[0, 0]),
         "C50": np.float16(c50(rir, rir_dp, fs)[0, 0]),
+        "C80": np.float16(c80(rir, rir_dp, fs)[0, 0]),
+        "DOA": np.float32(doa_from_geometry(cfg["src_traj_pts"],
+                                            cfg["array_pos"])[0, 1, 0]),
+        "SUR": np.float32(2 * (room_sz[0] * room_sz[1]
+                               + room_sz[0] * room_sz[2]
+                               + room_sz[1] * room_sz[2])),
+        "VOL": np.float32(np.prod(room_sz)),
     }
     if "T60_edc" in cfg:
         annos["T60"] = np.float32(cfg["T60_edc"])

@@ -23,7 +23,7 @@ import numpy as np
 from .wavio import read_wav
 from .scene import SceneSynthesizer
 
-TASKS = ("TDOA", "T60", "DRR", "C50", "ABS", "SNR")
+TASKS = ("TDOA", "T60", "DRR", "C50", "C80", "ABS", "SNR", "DOA", "SUR", "VOL")
 
 
 @dataclass
@@ -34,6 +34,21 @@ class Selecting:
     def __call__(self, sig: np.ndarray) -> np.ndarray:
         st, ed = self.select_range
         return sig[st:ed]
+
+
+@dataclass
+class Segmenting:
+    """Split a waveform into fixed-length segments
+    (reference code_v1/dataset.py:2352 'Segmenting' transform):
+    (nsample, nch) -> (nseg, seg_len, nch), truncating the remainder."""
+    seg_len: int
+    seg_shift: Optional[int] = None
+
+    def __call__(self, sig: np.ndarray) -> np.ndarray:
+        shift = self.seg_shift or self.seg_len
+        nseg = (sig.shape[0] - self.seg_len) // shift + 1
+        return np.stack([sig[i * shift: i * shift + self.seg_len]
+                         for i in range(max(nseg, 0))])
 
 
 class FixMicSigDataset:
@@ -74,6 +89,21 @@ class FixMicSigDataset:
         else:
             annos = {k: np.float32(np.nan) for k in TASKS}
         return sig.astype(np.float32), annos
+
+
+class FixMicSigDatasetLOCATA(FixMicSigDataset):
+    """LOCATA-materialized wav tree: TDOA annotation only, NaN elsewhere
+    (reference FixMicSigDatasetLOCATA, dataset.py:180-230)."""
+
+    def __getitem__(self, idx: int):
+        out = super().__getitem__(idx)
+        if not self.load_anno:
+            return out
+        sig, annos = out
+        keep = annos.get("TDOA", np.float32(np.nan))
+        annos = {k: np.float32(np.nan) for k in TASKS}
+        annos["TDOA"] = keep
+        return sig, annos
 
 
 class OnTheFlyMicSigDataset:

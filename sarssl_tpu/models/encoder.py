@@ -17,6 +17,7 @@ import flax.linen as nn
 from ..ops.patches import patch_recover
 from .conformer import ConformerEncoder
 from .transformer import TransformerEncoder
+from .crnn import CRNN, CRNNSim, TCRNN
 
 
 class CNNFrontEnd(nn.Module):
@@ -77,6 +78,28 @@ class EmbedEncoder(nn.Module):
         mhsa_nlayer = 1 if self.mode == "spec" else 3
 
         local, global_ = (self.model[0], self.model[1] if len(self.model) > 1 else "")
+
+        if len(self.model) == 1 and local in ("crnn", "crnn-sim", "tcrnn"):
+            # single-model CRNN variants (reference model.py:96-148): patch
+            # recover to the TF map, frame-wise outputs are the embeddings.
+            v = embed.reshape(nb, npatch, dpatch, nch)
+            tf = patch_recover(v, (nf, nt), self.patch_shape)  # (nb,nf,nt,nch)
+            if local == "crnn":
+                if self.mode == "spec":
+                    net = CRNN(nf=nf, planes=(32, 32, 64), f_stride=(1, 4, 4),
+                               out_dim=self.dembed, dtype=self.dtype,
+                               name="crnn")
+                else:
+                    net = CRNN(nf=nf, planes=(16, 16, 32, 64, 128),
+                               f_stride=(1, 1, 4, 4, 4), out_dim=self.dembed,
+                               dtype=self.dtype, name="crnn")
+            elif local == "crnn-sim":
+                net = CRNNSim(conv_chs=64, rnn_hid=self.dembed,
+                              out_dim=self.dembed, dtype=self.dtype,
+                              name="crnn")
+            else:
+                net = TCRNN(out_dim=self.dembed, dtype=self.dtype, name="crnn")
+            return net(tf, train)  # (nb, nt==npatch, dembed)
 
         if local == "fc":
             x = nn.Dense(self.dembed, dtype=self.dtype, name="patch_proj")(embed)

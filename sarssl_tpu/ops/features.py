@@ -26,6 +26,7 @@ class FeatureConfig:
     ch_mode: str = "M"
     eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
+    stft_impl: str = "matmul"  # 'matmul' (MXU windowed-DFT) | 'fft'
 
     @property
     def nf_used(self) -> int:
@@ -43,17 +44,38 @@ def stft_features(mic_sig: jax.Array, cfg: FeatureConfig = FeatureConfig()) -> j
       mic_sig: ``(nb, nsample, nch)`` float waveforms.
     Returns:
       ``(nb*npair, 2, nf_used, nt, 2)`` float: (batch*pairs, mic, freq, time, re/im).
+
+    The default 'matmul' path is complex-free: the windowed DFT runs as two
+    real matmuls on the MXU (TPUs have no FFT hardware) and real/imag stay
+    separate planes throughout.
     """
-    spec = stft(mic_sig, cfg.win_len, cfg.win_shift_ratio, cfg.nfft)  # (nb,nf,nt,nch)
-    spec = jnp.transpose(spec, (0, 3, 1, 2))  # (nb, nch, nf, nt)
+    if cfg.stft_impl == "matmul":
+        from .stft import _dft_matrices, frame_signal
 
-    # normalize by mean |X| of channel 0 per example (learner.py:537-542)
-    mag0 = jnp.abs(spec[:, 0])
-    mean = jnp.mean(mag0.reshape(mag0.shape[0], -1), axis=1)
-    spec = spec / (mean[:, None, None, None] + cfg.eps)
+        hop = int(cfg.win_len * cfg.win_shift_ratio)
+        x = jnp.moveaxis(mic_sig, -1, 1)               # (nb, nch, nsample)
+        frames = frame_signal(x, cfg.win_len, hop)     # (nb, nch, nt, win)
+        C, S = _dft_matrices(cfg.win_len, cfg.nfft, frames.dtype)
+        re = jnp.matmul(frames, C, preferred_element_type=jnp.float32)
+        im = jnp.matmul(frames, S, preferred_element_type=jnp.float32)
+        # (nb, nch, nt, nf) -> (nb, nch, nf, nt)
+        re = jnp.swapaxes(re, -1, -2)
+        im = jnp.swapaxes(im, -1, -2)
+        reim = jnp.stack([re, im], axis=-1)            # (nb, nch, nf, nt, 2)
 
-    pairs = mic_pair_rebatch(spec, cfg.ch_mode)  # (nb*npair, 2, nf, nt)
-    reim = jnp.stack([pairs.real, pairs.imag], axis=-1)  # (nb', 2, nf, nt, 2)
+        mag0 = jnp.sqrt(re[:, 0] ** 2 + im[:, 0] ** 2)
+        mean = jnp.mean(mag0.reshape(mag0.shape[0], -1), axis=1)
+        reim = reim / (mean[:, None, None, None, None] + cfg.eps)
+        reim = mic_pair_rebatch(reim, cfg.ch_mode)     # (nb*npair, 2, nf, nt, 2)
+    else:
+        spec = stft(mic_sig, cfg.win_len, cfg.win_shift_ratio, cfg.nfft,
+                    impl="fft")                        # (nb, nf, nt, nch)
+        spec = jnp.transpose(spec, (0, 3, 1, 2))       # (nb, nch, nf, nt)
+        mag0 = jnp.abs(spec[:, 0])
+        mean = jnp.mean(mag0.reshape(mag0.shape[0], -1), axis=1)
+        spec = spec / (mean[:, None, None, None] + cfg.eps)
+        pairs = mic_pair_rebatch(spec, cfg.ch_mode)    # (nb*npair, 2, nf, nt)
+        reim = jnp.stack([pairs.real, pairs.imag], axis=-1)
 
     if cfg.fre_used_ratio == 1.0:
         reim = reim[:, :, 1 : cfg.nf_used + 1]  # drop DC (learner.py:515-518)

@@ -15,6 +15,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def hann_window(win_len: int, dtype=jnp.float32) -> jax.Array:
@@ -43,27 +44,49 @@ def frame_signal(x: jax.Array, win_len: int, hop: int) -> jax.Array:
     return x[..., idx]
 
 
+def _dft_matrices(win_len: int, nfft: int, dtype=jnp.float32):
+    """Real-DFT basis combined with the Hann window: frames @ (C, S) gives
+    (real, imag) rFFT values. TPUs have no FFT hardware (XLA emulates it,
+    slowly); for the small nfft used here a windowed-DFT matmul runs on the
+    MXU at full rate."""
+    n = np.arange(nfft)[:, None]
+    k = np.arange(nfft // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * n * k / nfft
+    win = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(win_len) / win_len))
+    Cw = win[:, None] * np.cos(ang)[:win_len]
+    Sw = win[:, None] * np.sin(ang)[:win_len]
+    return jnp.asarray(Cw, dtype), jnp.asarray(Sw, dtype)
+
+
 def stft(
     signal: jax.Array,
     win_len: int = 512,
     win_shift_ratio: float = 0.5,
     nfft: int = 512,
+    impl: str = "matmul",
 ) -> jax.Array:
     """STFT of multi-channel signals.
 
     Args:
       signal: ``(nb, nsample, nch)`` float.
+      impl: 'matmul' (windowed-DFT on the MXU; TPU-fast) or 'fft'.
     Returns:
       ``(nb, nf, nt, nch)`` complex64 with ``nf = nfft//2 + 1``.
 
     Mirrors reference ``STFT.forward`` (utils_module.py:49-72) but processes
-    all channels in one batched rFFT instead of a per-channel Python loop.
+    all channels in one batched transform instead of a per-channel loop.
     """
     hop = int(win_len * win_shift_ratio)
     x = jnp.moveaxis(signal, -1, 1)  # (nb, nch, nsample)
     frames = frame_signal(x, win_len, hop)  # (nb, nch, nt, win_len)
-    win = hann_window(win_len, frames.dtype)
-    spec = jnp.fft.rfft(frames * win, n=nfft, axis=-1)  # (nb, nch, nt, nf)
+    if impl == "matmul" and win_len <= nfft:
+        C, S = _dft_matrices(win_len, nfft, frames.dtype)
+        re = jnp.matmul(frames, C, preferred_element_type=jnp.float32)
+        im = jnp.matmul(frames, S, preferred_element_type=jnp.float32)
+        spec = jax.lax.complex(re, im)  # (nb, nch, nt, nf)
+    else:
+        win = hann_window(win_len, frames.dtype)
+        spec = jnp.fft.rfft(frames * win, n=nfft, axis=-1)
     return jnp.transpose(spec, (0, 3, 2, 1))  # (nb, nf, nt, nch)
 
 

@@ -210,3 +210,21 @@ class DownstreamLearner:
                         "ensemble_model", epoch=-1,
                         max_score=self.stopper.best)
         return avg
+
+
+def mae_without_training(train_targets: np.ndarray,
+                         test_targets: np.ndarray) -> Dict[str, float]:
+    """Predict-the-train-mean MAE baseline (reference ``mae_wotrain``,
+    learner.py:655-686): the floor any learned model must beat."""
+    train_targets = np.asarray(train_targets, np.float64).ravel()
+    test_targets = np.asarray(test_targets, np.float64).ravel()
+    mean = float(train_targets.mean())
+    return {
+        "mean": mean,
+        "mae_train": float(np.mean(np.abs(train_targets - mean))),
+        "mae_test": float(np.mean(np.abs(test_targets - mean))),
+        "min_train": float(train_targets.min()),
+        "max_train": float(train_targets.max()),
+        "min_test": float(test_targets.min()),
+        "max_test": float(test_targets.max()),
+    }

@@ -1,0 +1,96 @@
+"""Pretext-task evaluation: spectrogram reconstruction -> waveform metrics.
+
+Equivalent of reference ``STFTLearner.pretrain_evaluate``
+(/root/reference/code/learner.py:574-618): view the predicted/target patch
+grids as complex STFTs, prepend the dropped DC bin, ISTFT, peak-normalize,
+and compute masked/unmasked MSEs plus (optionally) PESQ.
+
+PESQ is a host-side metric with no TPU analogue; we use torchmetrics when
+installed and otherwise report NaN (the environment here ships without it).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.patches import patch_recover
+from ..ops.stft import istft
+
+
+def _pesq_fn():
+    try:
+        from torchmetrics.functional.audio.pesq import (
+            perceptual_evaluation_speech_quality)
+        import torch
+
+        def fn(pred: np.ndarray, ref: np.ndarray, fs: int) -> float:
+            return float(perceptual_evaluation_speech_quality(
+                torch.from_numpy(pred), torch.from_numpy(ref), fs, "wb"))
+        return fn
+    except ImportError:
+        return None
+
+
+def reconstruct_waveforms(pred_tf: jax.Array, win_len: int = 512,
+                          win_shift_ratio: float = 0.5, nfft: int = 512):
+    """(nb, nf, nt, nreim, nch) TF grid (DC dropped) -> (nb, nsample, nch)."""
+    cplx = pred_tf[..., 0, :] + 1j * pred_tf[..., 1, :]  # (nb, nf, nt, nch)
+    dc = jnp.zeros_like(cplx[:, :1])
+    full = jnp.concatenate([dc, cplx], axis=1)  # (nb, nf+1, nt, nch)
+    sig = istft(full, win_len, win_shift_ratio, nfft)
+    peak = jnp.max(jnp.abs(sig))
+    return sig / jnp.maximum(peak, 1e-9)
+
+
+def pretext_metrics(aux: Dict, sig_shape, patch_shape,
+                    fs: int = 16000, compute_pesq: bool = False) -> Dict:
+    """Metrics from a pretext forward's aux dict {pred, tar, mask}.
+
+    Returns {'mse', 'mse_mask', 'mse_mask_ch', 'pesq' (nb, nch) or NaN}.
+    """
+    nf, nt = sig_shape[0], sig_shape[1]
+    f_first = patch_shape[1] != 1
+    pred = patch_recover(aux["pred"].astype(jnp.float32), (nf, nt),
+                         patch_shape, f_first)   # (nb, nf, nt, 2, nmic)
+    tar = patch_recover(aux["tar"].astype(jnp.float32), (nf, nt),
+                        patch_shape, f_first)
+    mask = aux["mask"]
+    nb, npatch = mask.patch.shape
+    nmic = tar.shape[-1]
+
+    # dense mask over the TF grid: 1 = kept, 0 = masked (ref convention)
+    mp = mask.patch.astype(jnp.float32)  # (nb, npatch), 1 = masked
+    ch = jax.nn.one_hot(mask.ch, nmic)   # (nb, nmic), 1 = masked channel
+    dpatch = patch_shape[0] * patch_shape[1]
+    dense_patches = 1.0 - mp[:, :, None, None] * ch[:, None, None, :]
+    mask_dense = patch_recover(
+        jnp.broadcast_to(dense_patches, (nb, npatch, dpatch, nmic)),
+        (nf, nt), patch_shape, f_first)          # (nb, nf, nt, nmic)
+
+    diff = (pred - tar) ** 2                      # (nb, nf, nt, 2, nmic)
+    md = mask_dense[:, :, :, None, :]
+    mse = jnp.mean(diff)
+    mse_mask = jnp.sum(diff * (1 - md)) / jnp.maximum(jnp.sum(1 - md), 1)
+
+    out = {"mse": float(mse), "mse_mask": float(mse_mask)}
+
+    sig_pred = np.asarray(reconstruct_waveforms(pred))
+    sig_tar = np.asarray(reconstruct_waveforms(tar))
+    out["sig_pred"], out["sig_tar"] = sig_pred, sig_tar
+
+    pesq = _pesq_fn() if compute_pesq else None
+    if pesq is not None:
+        vals = np.zeros((nb, nmic))
+        for b in range(nb):
+            for m in range(nmic):
+                try:
+                    vals[b, m] = pesq(sig_pred[b, :, m], sig_tar[b, :, m], fs)
+                except Exception:
+                    vals[b, m] = np.nan
+        out["pesq"] = vals
+    else:
+        out["pesq"] = np.full((nb, nmic), np.nan)
+    return out

@@ -74,10 +74,14 @@ def make_pretrain_eval_step(model, feat_cfg: FeatureConfig, mask_mode: str = "T"
 
 
 def _target_transform(task: str, gt):
-    """Reference get_tar_batch (learner.py:620-631): TDOA in samples."""
+    """Reference get_tar_batch semantics (learner.py:620-631; v1 extras at
+    code_v1/learner.py:724-762): TDOA in samples (x fs); SUR/VOL in log10;
+    DRR/T60/C50/C80/ABS/SNR/DOA identity. Scalars-per-item expected."""
     gt = gt.reshape(gt.shape[0], -1)[:, :1]
     if task == "TDOA":
         return gt * 16000.0
+    if task in ("SUR", "VOL"):
+        return jnp.log10(gt)
     return gt
 
 

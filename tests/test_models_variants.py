@@ -1,0 +1,76 @@
+"""Ablation encoder variants: fc/transformer/crnn family, DPIPD, utils."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sarssl_tpu.models.encoder import EmbedEncoder
+from sarssl_tpu.ops.dpipd import dpipd_template, dpipd_for_doa
+from sarssl_tpu.utils.metrics import (estimate_flops, forgetting_norm,
+                                      cross_validation_datadirs)
+
+SIG = (16, 8, 2, 2)  # (nf, nt, nreim, nmic)
+PATCH = (16, 1)
+
+
+def _embed_input(nb=2):
+    rng = np.random.default_rng(0)
+    npatch, dpatch = 8, 16
+    return jnp.asarray(rng.standard_normal((nb, npatch, dpatch * 4))
+                       .astype(np.float32))
+
+
+@pytest.mark.parametrize("model", [("fc", "conformer"), ("fc", "transformer"),
+                                   ("cnn", "transformer"), ("crnn",),
+                                   ("crnn-sim",), ("tcrnn",)])
+def test_encoder_variants(model):
+    x = _embed_input()
+    enc = EmbedEncoder(sig_shape=SIG, patch_shape=PATCH, dembed=16,
+                       model=model, mode="spat")
+    v = enc.init({"params": jax.random.key(0)}, x, False)
+    out = enc.apply(v, x, False)
+    assert out.shape == (2, 8, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dpipd_template_properties():
+    mic = np.array([[0.0, 0.0, 0.0], [0.1, 0.0, 0.0]])
+    tpl, (ele, azi) = dpipd_template(mic, ndoa_candidate=(5, 9), nf=17,
+                                     fre_max=8000.0)
+    assert tpl.shape == (5, 9, 17, 1)
+    np.testing.assert_allclose(np.abs(np.asarray(tpl)), 1.0, atol=1e-5)
+    # DC bin: zero phase for all directions
+    np.testing.assert_allclose(np.asarray(tpl[:, :, 0]).imag, 0.0, atol=1e-6)
+
+
+def test_dpipd_for_doa_endfire():
+    """End-fire source: IPD phase = 2*pi*f*d/c at the second mic."""
+    mic = np.array([[0.0, 0.0, 0.0], [0.1, 0.0, 0.0]])
+    doa = jnp.asarray(np.array([[[[np.pi / 2], [0.0]]]]))  # (1,1,2,1) ele=90,azi=0
+    dp = dpipd_for_doa(doa, mic, nf=9, fre_max=8000.0)
+    assert dp.shape == (1, 1, 9, 1, 1)
+    phase = np.angle(np.asarray(dp[0, 0, :, 0, 0]))
+    f = np.linspace(0, 8000, 9)
+    # pair (mic0, mic1): phase = 2*pi*f*(r . (mic0 - mic1))/c = -2*pi*f*d/c
+    expected = -2 * np.pi * f * 0.1 / 343.0
+    wrapped = np.angle(np.exp(1j * expected))
+    np.testing.assert_allclose(phase, wrapped, atol=1e-3)
+
+
+def test_estimate_flops_matmul():
+    a = jnp.zeros((64, 64))
+    g = estimate_flops(lambda x: x @ x, a)
+    assert g == pytest.approx(2 * 64 ** 3 / 1e9, rel=0.5)
+
+
+def test_forgetting_norm_converges_to_mean():
+    x = jnp.ones((4, 100)) * 3.0
+    out = forgetting_norm(x, num_frames=10)
+    assert float(out[0, -1]) == pytest.approx(3.0, rel=0.01)
+
+
+def test_cross_validation_splits():
+    splits = list(cross_validation_datadirs(["r1", "r2", "r3"]))
+    assert len(splits) == 3
+    assert splits[0]["test"] == ["r1"] and "r1" not in splits[0]["train"]
