@@ -41,6 +41,14 @@ def build_parser():
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--parity", action="store_true",
                    help="reference quirks: fresh Adam each epoch")
+    p.add_argument("--pretrain-frozen-encoder", action="store_true",
+                   help="freeze encoders, retrain decoder on the "
+                        "kept-channel-only pretext (run_pretrain.py:315-402)")
+    p.add_argument("--init-ckpt", type=str, default=None,
+                   help="checkpoint dir to initialize from (best_model)")
+    p.add_argument("--real-data-dirs", type=str, nargs="+", default=None,
+                   help="real corpora dirs for prob-mixed pretraining")
+    p.add_argument("--real-data-probs", type=float, nargs="+", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--mesh", type=str, default=None,
@@ -87,7 +95,9 @@ def main(argv=None):
             sig_shape=(256, nt, 2, 2), patch_shape=(256, 1),
             spec_dembed=32, spat_dembed=16)
     else:
-        mcfg = SARSSLConfig(sig_shape=(256, nt, 2, 2), dtype=args.dtype)
+        mcfg = SARSSLConfig(
+            sig_shape=(256, nt, 2, 2), dtype=args.dtype,
+            frozen_encoder_pretext=args.pretrain_frozen_encoder)
 
     model = SARSSL(mcfg)
     root_key = set_seed(args.seed)
@@ -108,6 +118,19 @@ def main(argv=None):
     if args.test:
         return _pretext_test(args, model, mcfg, feat_cfg, state, nsample)
 
+    trainable_mask = None
+    if args.init_ckpt:
+        payload = ckpt.load_checkpoint(ckpt.best_path(args.init_ckpt))
+        from ..train.checkpoint import partial_load, trainable_mask_from_loaded
+        params, loaded = partial_load(state.params, payload["params"],
+                                      verbose=True)
+        state = state.replace(params=params,
+                              opt_state=state.tx.init(params))
+        if args.pretrain_frozen_encoder:
+            # freeze everything that was loaded except the decoder
+            enc_keys = [k for k in loaded if not k.startswith("decoder")]
+            trainable_mask = trainable_mask_from_loaded(state.params, enc_keys)
+
     mesh = None
     if args.mesh:
         from ..parallel import make_mesh, make_sharded_pretrain_step
@@ -117,7 +140,8 @@ def main(argv=None):
             model, feat_cfg, mesh, state)
         state = jax.device_put(state, st_sh)
     else:
-        train_step = make_pretrain_step(model, feat_cfg)
+        train_step = make_pretrain_step(model, feat_cfg,
+                                        trainable_mask=trainable_mask)
     eval_step = make_pretrain_eval_step(model, feat_cfg)
 
     learner = PretrainLearner(
@@ -134,6 +158,19 @@ def main(argv=None):
         print(f"resumed from epoch {payload['meta']['epoch']}")
 
     def make_batches(split, epoch):
+        if args.real_data_dirs:
+            # prob-mixed real corpora (reference run_pretrain.py:118-142)
+            from ..data import RealMicSigDataset, RandomRealDataset, CorpusSpec
+            sets = [RealMicSigDataset(d, CorpusSpec(os.path.basename(d)),
+                                      T=nsample / 16000, fs=16000,
+                                      seed=args.seed + epoch)
+                    for d in args.real_data_dirs]
+            mix = RandomRealDataset(sets, probs=args.real_data_probs,
+                                    dataset_sz=(args.train_num if split == "train"
+                                                else args.val_num),
+                                    seed=args.seed + epoch)
+            return batch_iterator(mix, args.bs, shuffle=False,
+                                  num_workers=args.workers)
         if args.synthetic:
             num = args.train_num if split == "train" else args.val_num
             gen = SyntheticPairs(nsample=nsample, seed=args.seed + epoch

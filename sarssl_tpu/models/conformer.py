@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .common import Dropout
+
 
 def sinusoid_position_encoding(length: int, d_model: int, dtype=jnp.float32) -> jax.Array:
     """PE(pos, 2i) = sin(pos/10000^(2i/d)), PE(pos, 2i+1) = cos(...)."""
@@ -83,7 +85,7 @@ class RelPosSelfAttention(nn.Module):
         # reference scales by sqrt(d_model), not sqrt(d_head) (attention.py:58,91)
         score = (content + pos) / math.sqrt(self.d_model)
         attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        attn = Dropout(self.dropout)(attn, deterministic=deterministic)
 
         ctx = jnp.einsum("bhij,bjhd->bihd", attn, v, preferred_element_type=jnp.float32)
         ctx = ctx.astype(self.dtype).reshape(nb, nseq, self.d_model)
@@ -104,10 +106,10 @@ class FeedForwardModule(nn.Module):
         y = nn.Dense(self.dim * self.expansion, dtype=self.dtype,
                      kernel_init=nn.initializers.xavier_uniform())(y)
         y = nn.swish(y)
-        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = Dropout(self.dropout)(y, deterministic=deterministic)
         y = nn.Dense(self.dim, dtype=self.dtype,
                      kernel_init=nn.initializers.xavier_uniform())(y)
-        return nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return Dropout(self.dropout)(y, deterministic=deterministic)
 
 
 class ConvModule(nn.Module):
@@ -131,7 +133,7 @@ class ConvModule(nn.Module):
                          momentum=0.9, epsilon=1e-5)(y)
         y = nn.swish(y)
         y = nn.Dense(self.dim, dtype=self.dtype)(y)
-        return nn.Dropout(self.dropout)(y, deterministic=not train)
+        return Dropout(self.dropout)(y, deterministic=not train)
 
 
 class ConformerBlock(nn.Module):
@@ -150,7 +152,7 @@ class ConformerBlock(nn.Module):
         attn_in = nn.LayerNorm(dtype=self.dtype, name="mhsa_ln")(x)
         attn = RelPosSelfAttention(self.dim, self.num_heads, self.dropout,
                                    self.dtype, name="mhsa")(attn_in, det)
-        x = x + nn.Dropout(self.dropout)(attn, deterministic=det)
+        x = x + Dropout(self.dropout)(attn, deterministic=det)
         x = x + ConvModule(self.dim, self.conv_kernel_size, self.dropout,
                            self.dtype, name="conv")(x, train)
         x = x + 0.5 * FeedForwardModule(self.dim, self.ff_expansion, self.dropout,

@@ -51,6 +51,8 @@ class SARSSLConfig:
     downstream_head: str = "mlp"
     downstream_embed: str = "spec_spat"  # 'spec_spat'|'spec'|'spat'|'noinfo'
     downstream_dlabel: int = 1
+    frozen_encoder_pretext: bool = False  # reference model.py:603-666: the
+    # spec encoder sees only unmasked frames of the kept channel
     dtype: str = "float32"
 
     @property
@@ -145,7 +147,12 @@ class SARSSL(nn.Module):
         kept_ch = 1.0 - masked_ch
 
         vecc = vec.astype(dtype)
-        spec_in = vecc * masked * kept_ch + vecc * (1.0 - masked) * masked_ch
+        if c.frozen_encoder_pretext:
+            # frozen-encoder decoder retraining (model.py:622-631): spec
+            # encoder sees only the masked frames of the kept channel
+            spec_in = vecc * masked * kept_ch
+        else:
+            spec_in = vecc * masked * kept_ch + vecc * (1.0 - masked) * masked_ch
         spat_in = vecc * (1.0 - masked)
 
         embed_spec = self.spec_encoder(spec_in.reshape(nb, npatch, -1), train)

@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .common import Dropout
+
 from .conformer import sinusoid_position_encoding
 
 
@@ -29,12 +31,12 @@ class EncoderLayer(nn.Module):
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype,
             dropout_rate=self.dropout, deterministic=deterministic)(y, y)
-        x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = x + Dropout(self.dropout)(attn, deterministic=deterministic)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         y = nn.Dense(self.d_ff, dtype=self.dtype)(y)
-        y = nn.Dropout(self.dropout)(nn.relu(y), deterministic=deterministic)
+        y = Dropout(self.dropout)(nn.relu(y), deterministic=deterministic)
         y = nn.Dense(self.d_model, dtype=self.dtype)(y)
-        return x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return x + Dropout(self.dropout)(y, deterministic=deterministic)
 
 
 class TransformerEncoder(nn.Module):
@@ -52,7 +54,7 @@ class TransformerEncoder(nn.Module):
         nseq = x.shape[1]
         pe = sinusoid_position_encoding(nseq, self.d_model, self.dtype)
         x = x * math.sqrt(self.d_model) + pe[None]
-        x = nn.Dropout(self.dropout)(x, deterministic=det)
+        x = Dropout(self.dropout)(x, deterministic=det)
         d_ff = self.d_ff or 4 * self.d_model
         for i in range(self.num_layers):
             x = EncoderLayer(self.d_model, d_ff, self.num_heads,

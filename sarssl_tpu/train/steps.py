@@ -21,8 +21,12 @@ from ..ops.features import FeatureConfig, stft_features
 from ..ops.mask import gen_patch_mask
 
 
-def pretrain_step_body(model, feat_cfg: FeatureConfig, mask_mode: str = "T"):
-    """Un-jitted step body (reused by parallel.steps with shardings)."""
+def pretrain_step_body(model, feat_cfg: FeatureConfig, mask_mode: str = "T",
+                       trainable_mask=None):
+    """Un-jitted step body (reused by parallel.steps with shardings).
+
+    trainable_mask: optional bool pytree; False leaves get zero updates
+    (frozen-encoder pretext stage, reference run_pretrain.py:315-402)."""
     cfg = model.cfg
     nmasked = cfg.effective_nmasked()
 
@@ -44,6 +48,9 @@ def pretrain_step_body(model, feat_cfg: FeatureConfig, mask_mode: str = "T"):
 
         (loss, (diff, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
+        if trainable_mask is not None:
+            grads = jax.tree.map(
+                lambda g, m: g * jnp.asarray(m, g.dtype), grads, trainable_mask)
         new_state = state.apply_gradients(grads, lr=lr).replace(
             batch_stats=mut["batch_stats"])
         return new_state, {"loss": loss, "diff": diff}
@@ -52,8 +59,9 @@ def pretrain_step_body(model, feat_cfg: FeatureConfig, mask_mode: str = "T"):
 
 
 def make_pretrain_step(model, feat_cfg: FeatureConfig, mask_mode: str = "T",
-                       donate: bool = True):
-    return jax.jit(pretrain_step_body(model, feat_cfg, mask_mode),
+                       donate: bool = True, trainable_mask=None):
+    return jax.jit(pretrain_step_body(model, feat_cfg, mask_mode,
+                                      trainable_mask),
                    donate_argnums=(0,) if donate else ())
 
 

@@ -1,0 +1,65 @@
+"""Pallas dropout kernel: fallback-path semantics on CPU; the TPU path is
+exercised by scripts/profile_dropout.py on hardware."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sarssl_tpu.kernels import tpu_dropout
+
+
+def test_dropout_deterministic_passthrough():
+    x = jnp.ones((4, 8))
+    out = tpu_dropout(x, jax.random.key(0), 0.5, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+    out0 = tpu_dropout(x, jax.random.key(0), 0.0)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(x))
+
+
+def test_dropout_statistics_and_scaling():
+    x = jnp.ones((512, 512))
+    out = np.asarray(tpu_dropout(x, jax.random.key(1), 0.3))
+    zero_frac = (out == 0).mean()
+    assert zero_frac == pytest.approx(0.3, abs=0.02)
+    nz = out[out != 0]
+    np.testing.assert_allclose(nz, 1.0 / 0.7, rtol=1e-5)
+    assert out.mean() == pytest.approx(1.0, abs=0.02)  # inverted dropout
+
+
+def test_dropout_grad_matches_mask():
+    x = jnp.ones((64, 64))
+    key = jax.random.key(2)
+
+    def f(x):
+        return jnp.sum(tpu_dropout(x, key, 0.5) * 2.0)
+
+    g = np.asarray(jax.grad(f)(x))
+    out = np.asarray(tpu_dropout(x, key, 0.5))
+    # gradient is 2/keep_prob exactly where the forward kept the value
+    np.testing.assert_allclose(g, (out != 0) * 2.0 / 0.5, rtol=1e-5)
+
+
+def test_dropout_inside_model_training_still_learns():
+    """End-to-end sanity: the swapped Dropout module trains as before."""
+    from sarssl_tpu.models import SARSSL, SARSSLConfig
+    from sarssl_tpu.ops import FeatureConfig
+    from sarssl_tpu.train import create_train_state, make_pretrain_step
+    from sarssl_tpu.ops import gen_patch_mask
+    from sarssl_tpu.data import synth_batch
+
+    cfg = SARSSLConfig().tiny(sig_shape=(256, 8, 2, 2), patch_shape=(256, 1),
+                              spec_dembed=32, spat_dembed=16)
+    model = SARSSL(cfg)
+    x0 = jnp.zeros((4, 2, 256, 8, 2))
+    m0 = gen_patch_mask(jax.random.key(0), 4, cfg.npatch, cfg.effective_nmasked())
+    state = create_train_state(model, jax.random.key(1), x0, m0)
+    step = make_pretrain_step(model, FeatureConfig(), donate=False)
+    wave = jnp.asarray(synth_batch(np.random.default_rng(0), 4, 2304)[0])
+    losses = []
+    key = jax.random.key(3)
+    for i in range(10):
+        key, sub = jax.random.split(key)
+        state, m = step(state, wave, 1e-3, sub)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
