@@ -26,6 +26,10 @@ def build_parser():
     p = argparse.ArgumentParser("sarssl_tpu downstream")
     p.add_argument("--ds-train", action="store_true")
     p.add_argument("--ds-test", action="store_true")
+    p.add_argument("--ds-test-mode", type=str, default="cal_metric",
+                   choices=["cal_metric", "cal_metric_wo_info", "vis_embed"])
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="checkpoint dir for --ds-test (ensemble/best model)")
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--ds-task", type=str, default="TDOA",
@@ -159,6 +163,11 @@ def main(argv=None):
 
     os.makedirs(args.exp_dir, exist_ok=True)
     save_config(vars(args), os.path.join(args.exp_dir, "config.json"))
+
+    if args.ds_test:
+        return _ds_test(args, model, feat_cfg, init_state, make_batches,
+                        bs_set[0])
+
     results = {}
 
     for trial, bs, lr in itertools.product(range(ntrial), bs_set, lr_set):
@@ -238,6 +247,70 @@ def main(argv=None):
         ok = np.isfinite(out["best_test_mae"])
         print("SMOKE", "PASS" if ok else "FAIL")
         return 0 if ok else 1
+    return 0
+
+
+def _ds_test(args, model, feat_cfg, init_state, make_batches, bs):
+    """--ds-test modes (reference run_downstream.py:380-534):
+    cal_metric          MAE of a trained checkpoint on the test split;
+    cal_metric_wo_info  predict-train-mean baseline (learner.py:655-686);
+    vis_embed           t-SNE of test embeddings colored by target."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..train import make_downstream_eval_step
+    from ..train import checkpoint as ckpt
+    from ..train.learner import mae_without_training
+    from ..train.steps import _target_transform
+
+    def batch_adapter(it):
+        for wave, gt in it:
+            g = gt[args.ds_task] if isinstance(gt, dict) else gt
+            yield jnp.asarray(wave), jnp.asarray(np.asarray(g, np.float32))
+
+    if args.ds_test_mode == "cal_metric_wo_info":
+        tr = np.concatenate([np.asarray(_target_transform(args.ds_task, g))
+                             for _, g in batch_adapter(
+                                 make_batches("train", bs, args.seed))])
+        te = np.concatenate([np.asarray(_target_transform(args.ds_task, g))
+                             for _, g in batch_adapter(
+                                 make_batches("test", bs, 2))])
+        r = mae_without_training(tr, te)
+        print(f"no-train baseline [{args.ds_task}]: "
+              f"train MAE {r['mae_train']:.5f} test MAE {r['mae_test']:.5f} "
+              f"(mean {r['mean']:.5f})")
+        return 0
+
+    state = init_state
+    if args.ckpt:
+        from ..train.checkpoint import ensemble_path, best_path, load_checkpoint, restore_state
+        path = (ensemble_path(args.ckpt)
+                if os.path.exists(ensemble_path(args.ckpt))
+                else best_path(args.ckpt))
+        state = restore_state(state, load_checkpoint(path), restore_opt=False)
+        print(f"loaded {path}")
+
+    eval_step = make_downstream_eval_step(model, feat_cfg, task=args.ds_task)
+
+    if args.ds_test_mode == "vis_embed":
+        from ..utils.vis import plot_tsne_embeddings
+        embeds, labels = [], []
+        for wave, gt in batch_adapter(make_batches("test", bs, 2)):
+            m = eval_step(state, wave, gt)
+            embeds.append(np.asarray(m["embed"], np.float32))
+            labels.append(np.asarray(gt).ravel())
+        out = plot_tsne_embeddings(np.concatenate(embeds),
+                                   np.concatenate(labels),
+                                   os.path.join(args.exp_dir, "tsne.png"))
+        print("t-SNE saved to", out)
+        return 0
+
+    tot, tot_mae, n = 0.0, 0.0, 0
+    for wave, gt in batch_adapter(make_batches("test", bs, 2)):
+        m = eval_step(state, wave, gt)
+        tot += float(m["loss"]); tot_mae += float(m["mae"]); n += 1
+    print(f"test [{args.ds_task}]: loss {tot/max(n,1):.5f} "
+          f"MAE {tot_mae/max(n,1):.5f}")
     return 0
 
 

@@ -170,9 +170,34 @@ def rir_conv_src(rir: np.ndarray, src_sig: np.ndarray, fs: int = 16000):
     nsample, nsrc = src_sig.shape
     per_src = []
     for s in range(nsrc):
-        assert rir.shape[0] == 1, "moving-source convolution not implemented"
-        h = rir[0, :, :, s].T  # (nsamp, nmic)
-        y = fftconvolve(src_sig[:, s][:, None], h, axes=0)[:nsample]
+        if rir.shape[0] == 1:
+            h = rir[0, :, :, s].T  # (nsamp, nmic)
+            y = fftconvolve(src_sig[:, s][:, None], h, axes=0)[:nsample]
+        else:
+            y = _conv_trajectory(rir[:, :, :, s], src_sig[:, s])
         per_src.append(y)
     per_src = np.stack(per_src, axis=-1)
     return per_src.sum(axis=-1), per_src
+
+
+def _conv_trajectory(rirs: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """Moving-source convolution by linear crossfade between per-point RIR
+    convolutions (the gpuRIR.simulateTrajectory model the reference calls for
+    moving sources, utils_simu_rir_sig.py:636-641).
+
+    rirs: (npt, nmic, nsamp); src: (nsample,). Returns (nsample, nmic).
+    """
+    from scipy.signal import fftconvolve as _fc
+
+    npt = rirs.shape[0]
+    nsample = src.shape[0]
+    t = np.arange(nsample)
+    # trajectory point k is centered at sample k * nsample / npt
+    pos = t * npt / nsample  # fractional trajectory index per sample
+    lo = np.clip(np.floor(pos).astype(int), 0, npt - 1)
+    hi = np.clip(lo + 1, 0, npt - 1)
+    w_hi = (pos - lo).astype(np.float64)[:, None]
+    ys = np.stack([_fc(src[:, None], rirs[k].T, axes=0)[:nsample]
+                   for k in range(npt)])  # (npt, nsample, nmic)
+    out = ys[lo, t] * (1.0 - w_hi) + ys[hi, t] * w_hi
+    return out

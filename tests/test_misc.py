@@ -1,0 +1,63 @@
+"""Misc: moving-source trajectory conv, prefetch, results reader, StepTimer."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sarssl_tpu.data.ism import rir_conv_src, _conv_trajectory
+from sarssl_tpu.data.prefetch import device_prefetch
+from sarssl_tpu.utils.results import read_results, mae_table
+from sarssl_tpu.utils.profiling import StepTimer
+
+
+def test_conv_trajectory_static_equals_single():
+    """A 'moving' source whose trajectory points share one RIR must equal
+    the static convolution."""
+    rng = np.random.default_rng(0)
+    h = rng.standard_normal((2, 64)).astype(np.float64) * 0.2  # (nmic, nsamp)
+    src = rng.standard_normal(500)
+    static = rir_conv_src(h[None, :, :, None], src[:, None])[0]
+    moving_rirs = np.stack([h, h, h])  # 3 identical trajectory points
+    moving = _conv_trajectory(moving_rirs, src)
+    np.testing.assert_allclose(moving, static, atol=1e-10)
+
+
+def test_conv_trajectory_interpolates():
+    src = np.zeros(100)
+    src[10] = 1.0
+    h0 = np.zeros((1, 8)); h0[0, 0] = 1.0    # identity
+    h1 = np.zeros((1, 8)); h1[0, 0] = 3.0    # 3x gain
+    out = _conv_trajectory(np.stack([h0, h1]), src)
+    # at sample 10 of 100 with 2 points: weight ~0.2 toward h1 -> gain ~1.4
+    assert 1.0 < out[10, 0] < 3.0
+
+
+def test_device_prefetch_order():
+    batches = [np.full((2, 2), i) for i in range(5)]
+    out = list(device_prefetch(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b), batches[i])
+
+
+def test_results_reader(tmp_path):
+    r = {"task": "TDOA", "cells": {}, "best": "bs8_lr0.001",
+         "best_test_mae": 1.5,
+         "summary": {"bs8_lr0.001": {"mean_val_mae": 1.0,
+                                     "mean_test_mae": 1.5}}}
+    d = tmp_path / "exp"
+    d.mkdir()
+    with open(d / "results.json", "w") as f:
+        json.dump(r, f)
+    table = mae_table([str(d)])
+    assert table["TDOA"]["best_test_mae"] == 1.5
+
+
+def test_step_timer():
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        t.start()
+        t.stop()
+    s = t.summary(items_per_step=10)
+    assert s["items_per_sec"] > 0 and s["mean_ms"] >= 0
