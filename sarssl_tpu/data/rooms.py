@@ -27,6 +27,19 @@ MIC_ARRAY_2CH = {
     "array_rotate_azi_range": (0.0, 360.0),
 }
 
+# 4-channel circular array template (reference utils_array.py:19-29)
+_circ = np.array([[np.cos(a), np.sin(a), 0.0]
+                  for a in np.deg2rad([0, 90, 180, 270])]) * 0.05
+MIC_ARRAY_4CH_CIRCULAR = {
+    "array_type": "planar_linear",
+    "mic_pos_relative": _circ,
+    "mic_orV": _circ / np.linalg.norm(_circ, axis=1, keepdims=True),
+    "array_orV": np.array([0.0, 0.0, 1.0]),
+    "mic_pattern": "omni",
+    "array_scale_range": (1.0, 1.0),
+    "array_rotate_azi_range": (0.0, 360.0),
+}
+
 
 @dataclass
 class AcousticSamplerConfig:

@@ -170,14 +170,17 @@ class ConformerEncoder(nn.Module):
     conv_kernel_size: int = 31
     dropout: float = 0.1
     add_same_one: bool = False
+    remat: bool = False  # rematerialize blocks (trade FLOPs for HBM)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        block_cls = (nn.remat(ConformerBlock, static_argnums=(2,))
+                     if self.remat else ConformerBlock)
         for i in range(self.num_layers):
-            x = ConformerBlock(self.dim, self.num_heads, self.ff_expansion,
-                               self.conv_kernel_size, self.dropout, self.dtype,
-                               name=f"block{i}")(x, train)
+            x = block_cls(self.dim, self.num_heads, self.ff_expansion,
+                          self.conv_kernel_size, self.dropout, self.dtype,
+                          name=f"block{i}")(x, train)
             if self.add_same_one:
                 x = x + jnp.mean(x, axis=1, keepdims=True)
         return x

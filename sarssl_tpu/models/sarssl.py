@@ -53,6 +53,7 @@ class SARSSLConfig:
     downstream_dlabel: int = 1
     frozen_encoder_pretext: bool = False  # reference model.py:603-666: the
     # spec encoder sees only unmasked frames of the kept channel
+    in_ver: str = "separate"  # 'separate' | 'same' (model.py:380-382)
     dtype: str = "float32"
 
     @property
@@ -147,13 +148,19 @@ class SARSSL(nn.Module):
         kept_ch = 1.0 - masked_ch
 
         vecc = vec.astype(dtype)
-        if c.frozen_encoder_pretext:
+        if c.in_ver == "same":
+            # single-channel masking applied identically to both encoders
+            # (model.py:575-578): zero the masked frames of the masked channel
+            both = vecc * (1.0 - masked * masked_ch)
+            spec_in, spat_in = both, both
+        elif c.frozen_encoder_pretext:
             # frozen-encoder decoder retraining (model.py:622-631): spec
             # encoder sees only the masked frames of the kept channel
             spec_in = vecc * masked * kept_ch
-        else:
+            spat_in = vecc * (1.0 - masked)
+        else:  # 'separate' (default)
             spec_in = vecc * masked * kept_ch + vecc * (1.0 - masked) * masked_ch
-        spat_in = vecc * (1.0 - masked)
+            spat_in = vecc * (1.0 - masked)
 
         embed_spec = self.spec_encoder(spec_in.reshape(nb, npatch, -1), train)
         embed_spat = self.spat_encoder(spat_in.reshape(nb, npatch, -1), train)
