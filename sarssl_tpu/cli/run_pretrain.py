@@ -27,7 +27,10 @@ def build_parser():
     p.add_argument("--smoke", action="store_true",
                    help="tiny synthetic end-to-end run (CI)")
     p.add_argument("--synthetic", action="store_true",
-                   help="use the file-free synthetic pair generator")
+                   help="use the file-free synthetic pair generator (host)")
+    p.add_argument("--device-synth", action="store_true",
+                   help="fully device-resident on-the-fly synthesis "
+                        "(image-model mic pairs, zero host preprocessing)")
     p.add_argument("--data-dir", type=str, default=None)
     p.add_argument("--val-data-dir", type=str, default=None)
     p.add_argument("--exp-dir", type=str, default="exp/pretrain")
@@ -158,6 +161,19 @@ def main(argv=None):
         print(f"resumed from epoch {payload['meta']['epoch']}")
 
     def make_batches(split, epoch):
+        if args.device_synth:
+            from ..data import DeviceSynthConfig, synth_batch_device
+            dcfg = DeviceSynthConfig(nsample=nsample)
+            num = args.train_num if split == "train" else args.val_num
+            base = jax.random.fold_in(
+                root_key, epoch if split == "train" else 1_000_000 + epoch)
+
+            def gen():
+                for i in range(max(1, num // args.bs)):
+                    wave, _ = synth_batch_device(
+                        jax.random.fold_in(base, i), args.bs, dcfg)
+                    yield wave
+            return gen()
         if args.real_data_dirs:
             # prob-mixed real corpora (reference run_pretrain.py:118-142)
             from ..data import RealMicSigDataset, RandomRealDataset, CorpusSpec

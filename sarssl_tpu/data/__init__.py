@@ -8,12 +8,15 @@ from .real import (RealMicSigDataset, RandomRealDataset, CorpusSpec,
                    select_mic_pairs, ARRAY_GEOMETRIES, CORPUS_SPECS)
 from .real_rir import NpyRIRDataset, MicSigFromRIRDataset, dp_from_rir
 from .sources import SpeakerTreeDataset
+from .device_synth import DeviceSynthConfig, synth_batch_device
+from .prefetch import device_prefetch
 
 __all__ = [
     "RealMicSigDataset", "RandomRealDataset", "CorpusSpec",
     "select_mic_pairs", "ARRAY_GEOMETRIES", "CORPUS_SPECS",
     "NpyRIRDataset", "MicSigFromRIRDataset", "dp_from_rir",
     "SpeakerTreeDataset",
+    "DeviceSynthConfig", "synth_batch_device", "device_prefetch",
     "SyntheticPairs", "synth_batch",
     "AcousticSamplerConfig", "sample_acoustic_scene", "MIC_ARRAY_2CH",
     "SceneSynthesizer",
