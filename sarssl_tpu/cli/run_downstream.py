@@ -33,7 +33,8 @@ def build_parser():
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--ds-task", type=str, default="TDOA",
-                   choices=["TDOA", "DRR", "T60", "C50", "ABS", "SNR"])
+                   choices=["TDOA", "DRR", "T60", "C50", "C80", "ABS", "SNR",
+                            "DOA", "SUR", "VOL"])
     p.add_argument("--ds-trainmode", type=str, default="finetune",
                    choices=["finetune", "lineareval", "scratchlow"])
     p.add_argument("--ds-embed", type=str, default="spec_spat",
@@ -43,6 +44,11 @@ def build_parser():
     p.add_argument("--data-dir", type=str, default=None)
     p.add_argument("--val-data-dir", type=str, default=None)
     p.add_argument("--test-data-dir", type=str, default=None)
+    p.add_argument("--rir-dir", type=str, default=None,
+                   help="extracted real-RIR tree: train on-the-fly speech x "
+                        "RIR (reference RandomMicSigFromRIRDataset)")
+    p.add_argument("--src-dir", type=str, default=None,
+                   help="speaker-tree source corpus for --rir-dir")
     p.add_argument("--exp-dir", type=str, default="exp/downstream")
     p.add_argument("--ds-nsimroom", type=int, default=8)
     p.add_argument("--epochs", type=int, default=200)
@@ -71,15 +77,14 @@ def main(argv=None):
     import jax.numpy as jnp
     from flax import serialization
 
-    from ..config import (DownstreamConfig, SIM_LR_SET, SIM_BS_SET)
+    from ..config import DownstreamConfig
     from ..models import SARSSL, SARSSLConfig
-    from ..ops import FeatureConfig, gen_patch_mask
+    from ..ops import FeatureConfig
     from ..train import (create_train_state, make_downstream_step,
                          make_downstream_eval_step, DownstreamLearner)
     from ..train import checkpoint as ckpt
     from ..train.checkpoint import (partial_load, trainable_mask_from_loaded,
                                     load_checkpoint, best_path)
-    from ..train.steps import downstream_step_body
     from ..utils import MetricLogger, save_config, set_seed
     from ..data import (FixMicSigDataset, SyntheticPairs, Selecting,
                         batch_iterator)
@@ -148,6 +153,17 @@ def main(argv=None):
         return st, keys
 
     def make_batches(split, bs, seed):
+        if args.rir_dir:
+            from ..data import (NpyRIRDataset, MicSigFromRIRDataset,
+                                SpeakerTreeDataset)
+            num = {"train": train_num, "val": args.val_num,
+                   "test": args.test_num}[split]
+            rirs = NpyRIRDataset(args.rir_dir, fs=fs)
+            srcs = SpeakerTreeDataset(args.src_dir, T=T, fs=fs)
+            ds = MicSigFromRIRDataset(rirs, srcs, T=T, fs=fs,
+                                      seed=seed * 7 + 1, length=num)
+            return batch_iterator(ds, bs, shuffle=split == "train",
+                                  seed=seed, num_workers=args.workers)
         if args.synthetic:
             num = {"train": train_num, "val": args.val_num,
                    "test": args.test_num}[split]

@@ -67,7 +67,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from ..config import AcousticSetting, PretrainConfig
+    from ..config import AcousticSetting
     from ..models import SARSSL, SARSSLConfig
     from ..ops import FeatureConfig, gen_patch_mask
     from ..train import (create_train_state, make_pretrain_step,

@@ -65,6 +65,8 @@ class EmbedEncoder(nn.Module):
     model: Sequence[str] = ("cnn", "conformer")
     mode: str = "spat"
     dropout: float = 0.1
+    use_cls: bool = False  # append a learnable CLS token before the global
+    # stage (reference model.py:84-90,216-219); output has npatch+1 tokens
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -120,6 +122,14 @@ class EmbedEncoder(nn.Module):
             x = y.reshape(nb, npatch, self.dembed)
         else:
             raise ValueError(f"Unsupported local model: {local}")
+
+        if self.use_cls and global_ in ("conformer", "transformer"):
+            cls = self.param("cls_token",
+                             nn.initializers.truncated_normal(0.02),
+                             (1, 1, self.dembed))
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(cls.astype(x.dtype),
+                                     (nb, 1, self.dembed))], axis=1)
 
         if global_ == "conformer":
             x = ConformerEncoder(self.dembed, mhsa_nlayer, num_heads=4,

@@ -54,6 +54,8 @@ class SARSSLConfig:
     frozen_encoder_pretext: bool = False  # reference model.py:603-666: the
     # spec encoder sees only unmasked frames of the kept channel
     in_ver: str = "separate"  # 'separate' | 'same' (model.py:380-382)
+    use_cls: bool = False
+    downstream_token: str = "all"  # 'all' (mean of patches) | 'cls'
     dtype: str = "float32"
 
     @property
@@ -97,7 +99,7 @@ class SARSSL(nn.Module):
         enc = lambda dembed, mode, layers: EmbedEncoder(
             sig_shape=c.sig_shape, patch_shape=c.patch_shape, dembed=dembed,
             model=(local, c.global_model), mode=mode, dropout=c.dropout,
-            dtype=dtype,
+            use_cls=c.use_cls, dtype=dtype,
         )
         self.spec_encoder = enc(c.spec_dembed, "spec", c.spec_layers)
         self.spat_encoder = enc(c.spat_dembed, "spat", c.spat_layers)
@@ -164,6 +166,9 @@ class SARSSL(nn.Module):
 
         embed_spec = self.spec_encoder(spec_in.reshape(nb, npatch, -1), train)
         embed_spat = self.spat_encoder(spat_in.reshape(nb, npatch, -1), train)
+        if c.use_cls:  # drop the CLS token for reconstruction
+            embed_spec = embed_spec[:, :npatch]
+            embed_spat = embed_spat[:, :npatch]
         embed = jnp.concatenate([embed_spec, embed_spat], axis=2)
         pred = self.decoder(embed, train)  # (nb, npatch, dpatch*nreim*nmic)
         pred = pred.reshape(nb, npatch, dpatch, 2, nmic)
@@ -200,6 +205,10 @@ class SARSSL(nn.Module):
             embed = jax.lax.stop_gradient(jnp.zeros_like(embed_spec))
         else:
             raise ValueError(c.downstream_embed)
+        if c.use_cls:
+            if c.downstream_token == "cls":
+                return embed[:, -1]          # (nb, dembed_ds)
+            embed = embed[:, :-1]            # 'all': mean over patch tokens
         return jnp.mean(embed, axis=1)  # (nb, dembed_ds)
 
     def downstream(self, x, train: bool = False):
