@@ -53,7 +53,8 @@ class SARSSLConfig:
     downstream_dlabel: int = 1
     frozen_encoder_pretext: bool = False  # reference model.py:603-666: the
     # spec encoder sees only unmasked frames of the kept channel
-    in_ver: str = "separate"  # 'separate' | 'same' (model.py:380-382)
+    in_ver: str = "separate"  # 'separate' | 'same' | 'single_ch_each_patch'
+    # (model.py:380-382)
     use_cls: bool = False
     downstream_token: str = "all"  # 'all' (mean of patches) | 'cls'
     dtype: str = "float32"
@@ -96,8 +97,18 @@ class SARSSL(nn.Module):
         f_first = c.patch_shape[1] != 1
         local = "cnn_f_first" if (f_first and c.local_model == "cnn") else c.local_model
         dtype = c.compute_dtype
+        if c.in_ver == "single_ch_each_patch":
+            # each patch carries one channel; the encoder operates on a
+            # doubled patch sequence with nmic=1 (reference model.py:452-456)
+            nf, nt, nreim, nmic = c.sig_shape
+            enc_sig_shape = (nf * nmic, nt, nreim, 1)
+            enc_dembed_div = nmic
+        else:
+            enc_sig_shape = c.sig_shape
+            enc_dembed_div = 1
         enc = lambda dembed, mode, layers: EmbedEncoder(
-            sig_shape=c.sig_shape, patch_shape=c.patch_shape, dembed=dembed,
+            sig_shape=enc_sig_shape, patch_shape=c.patch_shape,
+            dembed=dembed // enc_dembed_div,
             model=(local, c.global_model), mode=mode, dropout=c.dropout,
             use_cls=c.use_cls, dtype=dtype,
         )
@@ -150,22 +161,38 @@ class SARSSL(nn.Module):
         kept_ch = 1.0 - masked_ch
 
         vecc = vec.astype(dtype)
-        if c.in_ver == "same":
-            # single-channel masking applied identically to both encoders
-            # (model.py:575-578): zero the masked frames of the masked channel
+        if c.in_ver == "single_ch_each_patch":
+            # one channel per patch: doubled patch sequence, features
+            # re-joined across mics afterwards (model.py:567-573)
             both = vecc * (1.0 - masked * masked_ch)
-            spec_in, spat_in = both, both
-        elif c.frozen_encoder_pretext:
-            # frozen-encoder decoder retraining (model.py:622-631): spec
-            # encoder sees only the masked frames of the kept channel
-            spec_in = vecc * masked * kept_ch
-            spat_in = vecc * (1.0 - masked)
-        else:  # 'separate' (default)
-            spec_in = vecc * masked * kept_ch + vecc * (1.0 - masked) * masked_ch
-            spat_in = vecc * (1.0 - masked)
-
-        embed_spec = self.spec_encoder(spec_in.reshape(nb, npatch, -1), train)
-        embed_spat = self.spat_encoder(spat_in.reshape(nb, npatch, -1), train)
+            per_mic = jnp.concatenate(
+                [both[..., m] for m in range(nmic)], axis=1)
+            flat = per_mic.reshape(nb, npatch * nmic, -1)
+            es = self.spec_encoder(flat, train)
+            ea = self.spat_encoder(flat, train)
+            join = lambda e: jnp.concatenate(
+                [e[:, m * npatch:(m + 1) * npatch] for m in range(nmic)],
+                axis=2)
+            embed_spec, embed_spat = join(es), join(ea)
+        else:
+            if c.in_ver == "same":
+                # single-channel masking applied identically to both encoders
+                # (model.py:575-578)
+                both = vecc * (1.0 - masked * masked_ch)
+                spec_in, spat_in = both, both
+            elif c.frozen_encoder_pretext:
+                # frozen-encoder decoder retraining (model.py:622-631): spec
+                # encoder sees only the masked frames of the kept channel
+                spec_in = vecc * masked * kept_ch
+                spat_in = vecc * (1.0 - masked)
+            else:  # 'separate' (default)
+                spec_in = (vecc * masked * kept_ch
+                           + vecc * (1.0 - masked) * masked_ch)
+                spat_in = vecc * (1.0 - masked)
+            embed_spec = self.spec_encoder(spec_in.reshape(nb, npatch, -1),
+                                           train)
+            embed_spat = self.spat_encoder(spat_in.reshape(nb, npatch, -1),
+                                           train)
         if c.use_cls:  # drop the CLS token for reconstruction
             embed_spec = embed_spec[:, :npatch]
             embed_spat = embed_spat[:, :npatch]
@@ -192,9 +219,20 @@ class SARSSL(nn.Module):
         nb = x.shape[0]
         vec = self._split(x).astype(c.compute_dtype)
         npatch = vec.shape[1]
-        flat = vec.reshape(nb, npatch, -1)
-        embed_spec = self.spec_encoder(flat, train)
-        embed_spat = self.spat_encoder(flat, train)
+        if c.in_ver == "single_ch_each_patch":
+            nmic = vec.shape[-1]
+            per_mic = jnp.concatenate(
+                [vec[..., m] for m in range(nmic)], axis=1)
+            flat = per_mic.reshape(nb, npatch * nmic, -1)
+            join = lambda e: jnp.concatenate(
+                [e[:, m * npatch:(m + 1) * npatch] for m in range(nmic)],
+                axis=2)
+            embed_spec = join(self.spec_encoder(flat, train))
+            embed_spat = join(self.spat_encoder(flat, train))
+        else:
+            flat = vec.reshape(nb, npatch, -1)
+            embed_spec = self.spec_encoder(flat, train)
+            embed_spat = self.spat_encoder(flat, train)
         if c.downstream_embed == "spec_spat":
             embed = jnp.concatenate([embed_spec, embed_spat], axis=2)
         elif c.downstream_embed == "spec":
