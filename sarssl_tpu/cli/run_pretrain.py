@@ -9,7 +9,7 @@ Usage:
   python -m sarssl_tpu.cli.run_pretrain --pretrain --data-dir DATA [...]
   python -m sarssl_tpu.cli.run_pretrain --pretrain --synthetic  # file-free
   python -m sarssl_tpu.cli.run_pretrain --smoke                 # tiny e2e run
-  python -m sarssl_tpu.cli.run_pretrain --test --ckpt-dir DIR --data-dir DATA
+  python -m sarssl_tpu.cli.run_pretrain --test --exp-dir DIR --data-dir DATA
 """
 from __future__ import annotations
 
@@ -37,6 +37,7 @@ def build_parser():
     p.add_argument("--bs", type=int, default=128)
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--warmup-epochs", type=int, default=0)
     p.add_argument("--train-num", type=int, default=512000)
     p.add_argument("--val-num", type=int, default=4000)
     p.add_argument("--workers", type=int, default=8)
@@ -149,7 +150,8 @@ def main(argv=None):
 
     learner = PretrainLearner(
         state=state, train_step=train_step, eval_step=eval_step,
-        lr_schedule=cosine_schedule(args.epochs, args.lr),
+        lr_schedule=cosine_schedule(args.epochs, args.lr,
+                                    warmup_steps=args.warmup_epochs),
         ckpt_dir=ckpt_dir, patience=100,
         fresh_opt_each_epoch=args.parity,
         logger=MetricLogger(log_dir))
@@ -200,10 +202,19 @@ def main(argv=None):
         return batch_iterator(ds, args.bs, shuffle=split == "train",
                               seed=args.seed + epoch, num_workers=args.workers)
 
+    from ..data import device_prefetch
+    b_shard = b_sh if args.mesh else None
+
+    def prefetched(split, epoch):
+        it = make_batches(split, epoch)
+        if args.device_synth:
+            return it  # already device-resident
+        return device_prefetch(it, size=2, sharding=b_shard)
+
     for epoch in range(learner.epoch, args.epochs):
         tkey = jax.random.fold_in(root_key, epoch)
-        tm = learner.train_epoch(make_batches("train", epoch), tkey)
-        vm = learner.eval_epoch(make_batches("val", epoch),
+        tm = learner.train_epoch(prefetched("train", epoch), tkey)
+        vm = learner.eval_epoch(prefetched("val", epoch),
                                 jax.random.fold_in(root_key, 10_000 + epoch))
         learner.end_epoch(vm["loss"])
         print(f"epoch {epoch}: train loss {tm['loss']:.5f} "

@@ -23,21 +23,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+REPLICA_AXIS = "replica"  # multi-slice axis: gradients reduced over DCN
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              n_replica: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
+    """('data','model') mesh, or ('replica','data','model') when
+    ``n_replica > 1`` for multi-slice scaling: 'replica' maps across slices
+    (DCN), 'data'/'model' stay within a slice (ICI)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n_data is None:
-        n_data = n // n_model
-    assert n_data * n_model <= n, (n_data, n_model, n)
-    grid = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+        n_data = n // (n_model * n_replica)
+    used = n_replica * n_data * n_model
+    assert used <= n, (n_replica, n_data, n_model, n)
+    if n_replica > 1:
+        grid = np.array(devices[:used]).reshape(n_replica, n_data, n_model)
+        return Mesh(grid, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
+    grid = np.array(devices[:used]).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) axis over 'data'."""
+    """Leading (batch) axis over 'data' (and 'replica' when present)."""
+    if REPLICA_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P((REPLICA_AXIS, DATA_AXIS)))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
