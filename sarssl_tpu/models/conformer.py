@@ -51,11 +51,16 @@ def _relative_shift(pos_score: jax.Array) -> jax.Array:
 
 
 class RelPosSelfAttention(nn.Module):
-    """Relative multi-head self-attention (Transformer-XL content/pos split)."""
+    """Relative multi-head self-attention (Transformer-XL content/pos split).
+
+    With ``fused=True`` and no active attention dropout, the content matmul,
+    bias add, softmax and PV product run as one Pallas kernel per (batch,
+    head) — scores/probabilities never touch HBM (kernels/attention.py)."""
 
     d_model: int
     num_heads: int
     dropout: float = 0.1
+    fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -76,18 +81,32 @@ class RelPosSelfAttention(nn.Module):
         u_bias = self.param("u_bias", nn.initializers.xavier_uniform(), (self.num_heads, dh))
         v_bias = self.param("v_bias", nn.initializers.xavier_uniform(), (self.num_heads, dh))
 
-        # content: (b,h,i,j) = (q+u) . k     pos: (b,h,i,j) = (q+v) . p_j, shifted
-        content = jnp.einsum("bihd,bjhd->bhij", q + u_bias.astype(self.dtype), k,
-                             preferred_element_type=jnp.float32)
+        # pos bias: (b,h,i,j) = (q+v) . p_j, relative-shifted
         pos = jnp.einsum("bihd,jhd->bhij", q + v_bias.astype(self.dtype), p,
                          preferred_element_type=jnp.float32)
         pos = _relative_shift(pos)
         # reference scales by sqrt(d_model), not sqrt(d_head) (attention.py:58,91)
-        score = (content + pos) / math.sqrt(self.d_model)
-        attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(self.dtype)
-        attn = Dropout(self.dropout)(attn, deterministic=deterministic)
+        scale = 1.0 / math.sqrt(self.d_model)
 
-        ctx = jnp.einsum("bhij,bjhd->bihd", attn, v, preferred_element_type=jnp.float32)
+        drop_active = (not deterministic) and self.dropout > 0.0
+        if self.fused and not drop_active and jax.default_backend() == "tpu":
+            from ..kernels.attention import fused_attention
+
+            qu = jnp.transpose(q + u_bias.astype(self.dtype), (0, 2, 1, 3))
+            kt = jnp.transpose(k, (0, 2, 1, 3))
+            vt = jnp.transpose(v, (0, 2, 1, 3))
+            ctx = fused_attention(qu, kt, vt, pos.astype(self.dtype), scale)
+            ctx = jnp.transpose(ctx, (0, 2, 1, 3))
+        else:
+            content = jnp.einsum("bihd,bjhd->bhij",
+                                 q + u_bias.astype(self.dtype), k,
+                                 preferred_element_type=jnp.float32)
+            score = (content + pos) * scale
+            attn = jax.nn.softmax(score.astype(jnp.float32),
+                                  axis=-1).astype(self.dtype)
+            attn = Dropout(self.dropout)(attn, deterministic=deterministic)
+            ctx = jnp.einsum("bhij,bjhd->bihd", attn, v,
+                             preferred_element_type=jnp.float32)
         ctx = ctx.astype(self.dtype).reshape(nb, nseq, self.d_model)
         return dense("out")(ctx)
 
@@ -142,6 +161,7 @@ class ConformerBlock(nn.Module):
     ff_expansion: int = 4
     conv_kernel_size: int = 31
     dropout: float = 0.1
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -151,7 +171,8 @@ class ConformerBlock(nn.Module):
                                         self.dtype, name="ff1")(x, det)
         attn_in = nn.LayerNorm(dtype=self.dtype, name="mhsa_ln")(x)
         attn = RelPosSelfAttention(self.dim, self.num_heads, self.dropout,
-                                   self.dtype, name="mhsa")(attn_in, det)
+                                   self.fused_attention, self.dtype,
+                                   name="mhsa")(attn_in, det)
         x = x + Dropout(self.dropout)(attn, deterministic=det)
         x = x + ConvModule(self.dim, self.conv_kernel_size, self.dropout,
                            self.dtype, name="conv")(x, train)
@@ -171,6 +192,7 @@ class ConformerEncoder(nn.Module):
     dropout: float = 0.1
     add_same_one: bool = False
     remat: bool = False  # rematerialize blocks (trade FLOPs for HBM)
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -179,7 +201,8 @@ class ConformerEncoder(nn.Module):
                      if self.remat else ConformerBlock)
         for i in range(self.num_layers):
             x = block_cls(self.dim, self.num_heads, self.ff_expansion,
-                          self.conv_kernel_size, self.dropout, self.dtype,
+                          self.conv_kernel_size, self.dropout,
+                          self.fused_attention, self.dtype,
                           name=f"block{i}")(x, train)
             if self.add_same_one:
                 x = x + jnp.mean(x, axis=1, keepdims=True)

@@ -67,6 +67,8 @@ class EmbedEncoder(nn.Module):
     dropout: float = 0.1
     use_cls: bool = False  # append a learnable CLS token before the global
     # stage (reference model.py:84-90,216-219); output has npatch+1 tokens
+    remat_local: bool = False  # rematerialize the CNN front-end
+    fused_attention: bool = False  # Pallas fused attention (kernels/attention)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -109,15 +111,17 @@ class EmbedEncoder(nn.Module):
             f_first = local == "cnn_f_first"
             v = embed.reshape(nb, npatch, dpatch, nch)
             tf = patch_recover(v, (nf, nt), self.patch_shape, f_first=f_first)
+            cnn_cls = (nn.remat(CNNFrontEnd, static_argnums=(2,))
+                       if self.remat_local else CNNFrontEnd)
             if f_first:
                 # reference recovers onto a (nt, nf) canvas and convolves with a
                 # transposed patch kernel (model.py:66-81)
                 tf = jnp.swapaxes(tf, 1, 2)  # (nb, nt, nf, nch)
-                front = CNNFrontEnd(self.dembed, (pt, pf), dtype=self.dtype,
-                                    name="front")
+                front = cnn_cls(self.dembed, (pt, pf), dtype=self.dtype,
+                                name="front")
             else:
-                front = CNNFrontEnd(self.dembed, self.patch_shape, dtype=self.dtype,
-                                    name="front")
+                front = cnn_cls(self.dembed, self.patch_shape, dtype=self.dtype,
+                                name="front")
             y = front(tf, train)  # (nb, h, w, dembed) with h*w == npatch
             x = y.reshape(nb, npatch, self.dembed)
         else:
@@ -134,6 +138,7 @@ class EmbedEncoder(nn.Module):
         if global_ == "conformer":
             x = ConformerEncoder(self.dembed, mhsa_nlayer, num_heads=4,
                                  ff_expansion=4, dropout=self.dropout,
+                                 fused_attention=self.fused_attention,
                                  dtype=self.dtype, name="global")(x, train)
         elif global_ == "transformer":
             x = TransformerEncoder(self.dembed, mhsa_nlayer, num_heads=4,

@@ -55,6 +55,8 @@ class SARSSLConfig:
     # spec encoder sees only unmasked frames of the kept channel
     in_ver: str = "separate"  # 'separate' | 'same' | 'single_ch_each_patch'
     # (model.py:380-382)
+    remat_cnn: bool = False  # rematerialize the encoder CNN front-ends
+    fused_attention: bool = False  # Pallas fused attention (no attn dropout)
     use_cls: bool = False
     downstream_token: str = "all"  # 'all' (mean of patches) | 'cls'
     dtype: str = "float32"
@@ -110,7 +112,8 @@ class SARSSL(nn.Module):
             sig_shape=enc_sig_shape, patch_shape=c.patch_shape,
             dembed=dembed // enc_dembed_div,
             model=(local, c.global_model), mode=mode, dropout=c.dropout,
-            use_cls=c.use_cls, dtype=dtype,
+            use_cls=c.use_cls, remat_local=c.remat_cnn,
+            fused_attention=c.fused_attention, dtype=dtype,
         )
         self.spec_encoder = enc(c.spec_dembed, "spec", c.spec_layers)
         self.spat_encoder = enc(c.spat_dembed, "spat", c.spat_layers)
