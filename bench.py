@@ -4,7 +4,8 @@ Runs the full-size configuration from the reference drivers
 (/root/reference/code/run_pretrain.py:66-79): batch 128, T=4.112 s @ 16 kHz
 2-mic waveforms, STFT (512/256/512), dual MC-Conformer encoders
 (spec d=512 x1, spat d=256 x3) and the MLP decoder — one fused jitted train
-step (features + masking + fwd + bwd + Adam), bf16 compute / f32 params.
+step (features + masking + fwd + bwd + Adam), bf16 compute / f32 params, with
+the Pallas fused attention and hardware-PRNG dropout kernels enabled.
 
 Prints ONE JSON line:
   {"metric": "pretrain_utts_per_sec_per_chip", "value": N, "unit": "utt/s",
@@ -38,7 +39,7 @@ def main():
     from sarssl_tpu.train import create_train_state, make_pretrain_step
 
     dev = jax.devices()[0]
-    cfg = SARSSLConfig(dtype="bfloat16")
+    cfg = SARSSLConfig(dtype="bfloat16", fused_attention=True)
     model = SARSSL(cfg)
     feat_cfg = FeatureConfig()
 

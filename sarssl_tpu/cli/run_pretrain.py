@@ -38,6 +38,8 @@ def build_parser():
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--warmup-epochs", type=int, default=0)
+    p.add_argument("--fused-attention", action="store_true",
+                   help="Pallas fused attention kernel (TPU)")
     p.add_argument("--train-num", type=int, default=512000)
     p.add_argument("--val-num", type=int, default=4000)
     p.add_argument("--workers", type=int, default=8)
@@ -101,6 +103,7 @@ def main(argv=None):
     else:
         mcfg = SARSSLConfig(
             sig_shape=(256, nt, 2, 2), dtype=args.dtype,
+            fused_attention=args.fused_attention,
             frozen_encoder_pretext=args.pretrain_frozen_encoder)
 
     model = SARSSL(mcfg)

@@ -89,13 +89,21 @@ class RelPosSelfAttention(nn.Module):
         scale = 1.0 / math.sqrt(self.d_model)
 
         drop_active = (not deterministic) and self.dropout > 0.0
-        if self.fused and not drop_active and jax.default_backend() == "tpu":
+        if self.fused and jax.default_backend() == "tpu":
             from ..kernels.attention import fused_attention
 
+            if drop_active:
+                seed = jax.random.randint(self.make_rng("dropout"), (1,), 0,
+                                          2 ** 31 - 1, dtype=jnp.int32)
+                rate = float(self.dropout)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+                rate = 0.0
             qu = jnp.transpose(q + u_bias.astype(self.dtype), (0, 2, 1, 3))
             kt = jnp.transpose(k, (0, 2, 1, 3))
             vt = jnp.transpose(v, (0, 2, 1, 3))
-            ctx = fused_attention(qu, kt, vt, pos.astype(self.dtype), scale)
+            ctx = fused_attention(qu, kt, vt, pos.astype(self.dtype), seed,
+                                  scale, rate)
             ctx = jnp.transpose(ctx, (0, 2, 1, 3))
         else:
             content = jnp.einsum("bihd,bjhd->bhij",

@@ -20,9 +20,12 @@ def _inputs(seed=0):
     return qu, k, v, bias
 
 
+SEED0 = jnp.zeros((1,), jnp.int32)
+
+
 def test_forward_matches_reference():
     qu, k, v, bias = _inputs()
-    out = fused_attention(qu, k, v, bias, SCALE, True)
+    out = fused_attention(qu, k, v, bias, SEED0, SCALE, 0.0, True)
     ref = reference_attention(qu, k, v, bias, SCALE)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
@@ -32,7 +35,7 @@ def test_gradients_match_reference():
     qu, k, v, bias = _inputs(1)
 
     def loss_fused(args):
-        return jnp.sum(fused_attention(*args, SCALE, True) ** 2)
+        return jnp.sum(fused_attention(*args, SEED0, SCALE, 0.0, True) ** 2)
 
     def loss_ref(args):
         return jnp.sum(reference_attention(*args, SCALE) ** 2)
@@ -42,3 +45,52 @@ def test_gradients_match_reference():
     for a, b, name in zip(gf, gr, ["dqu", "dk", "dv", "dbias"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=1e-3, err_msg=name)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pltpu.prng_seed has no CPU interpret lowering; "
+                           "validated on hardware by scripts/profile_step7.py")
+def test_attention_dropout_statistics():
+    qu, k, v, bias = _inputs(2)
+    seed = jnp.asarray([1234], jnp.int32)
+    out = fused_attention(qu, k, v, bias, seed, SCALE, 0.5, True)
+    ref = reference_attention(qu, k, v, bias, SCALE)
+    # dropped attention rows lose mass; inverted scaling keeps the mean close
+    assert not np.allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    assert np.abs(np.asarray(out)).mean() == pytest.approx(
+        np.abs(np.asarray(ref)).mean(), rel=0.3)
+    # determinism: identical seed -> identical output
+    out2 = fused_attention(qu, k, v, bias, seed, SCALE, 0.5, True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pltpu.prng_seed has no CPU interpret lowering")
+def test_attention_dropout_grads_match_same_mask_reference():
+    """Extract the kernel's mask (v = basis blocks, same seed) and compare
+    all gradients against a jnp implementation using that mask. Hardware
+    run (scripts/validate_fused_dropout_grads.py) measured <= 4.3e-5 rel."""
+    qu, k, v, bias = _inputs(3)
+    seed = jnp.asarray([77], jnp.int32)
+    rate = 0.3
+    eye = np.eye(L, dtype=np.float32)
+    chunks = [np.asarray(fused_attention(
+        qu, k, jnp.broadcast_to(jnp.asarray(eye[:, c * D:(c + 1) * D]),
+                                (B, H, L, D)), bias, seed, SCALE, rate))
+        for c in range(L // D)]
+    mask = jnp.asarray((np.concatenate(chunks, -1) != 0).astype(np.float32))
+
+    def ref(args):
+        qu_, k_, v_, bias_ = args
+        s = (jnp.einsum("bhid,bhjd->bhij", qu_, k_) + bias_) * SCALE
+        p = jax.nn.softmax(s, axis=-1) * mask / (1 - rate)
+        return jnp.sum(jnp.einsum("bhij,bhjd->bhid", p, v_) ** 2)
+
+    def fused(args):
+        return jnp.sum(fused_attention(*args, seed, SCALE, rate) ** 2)
+
+    gr = jax.grad(ref)((qu, k, v, bias))
+    gf = jax.grad(fused)((qu, k, v, bias))
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=1e-3)
