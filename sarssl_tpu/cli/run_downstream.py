@@ -65,6 +65,8 @@ def build_parser():
     p.add_argument("--seed", type=int, default=100)
     p.add_argument("--dtype", type=str, default="float32")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="'DxM' data x model mesh, e.g. 8x1")
     return p
 
 
@@ -193,14 +195,31 @@ def main(argv=None):
         tmask = None
         if args.ds_trainmode == "lineareval" and keys:
             tmask = trainable_mask_from_loaded(state.params, keys)
-        train_step = make_downstream_step(model, feat_cfg, task=args.ds_task,
-                                          donate=False, trainable_mask=tmask)
+        b_sh = None
+        if args.mesh:
+            from ..parallel import make_mesh, make_sharded_downstream_step
+            d, mm = map(int, args.mesh.split("x"))
+            mesh = make_mesh(n_data=d, n_model=mm)
+            # note: lineareval freezing is not yet plumbed through the
+            # sharded step builder; finetune/scratch paths are.
+            train_step, st_sh, b_sh = make_sharded_downstream_step(
+                model, feat_cfg, mesh, state, task=args.ds_task, donate=False)
+            state = jax.device_put(state, st_sh)
+        else:
+            train_step = make_downstream_step(
+                model, feat_cfg, task=args.ds_task, donate=False,
+                trainable_mask=tmask)
         eval_step = make_downstream_eval_step(model, feat_cfg, task=args.ds_task)
 
         def batch_adapter(it):
             for wave, gt in it:
                 g = gt[args.ds_task] if isinstance(gt, dict) else gt
-                yield jnp.asarray(wave), jnp.asarray(np.asarray(g, np.float32))
+                wave = jnp.asarray(wave)
+                g = jnp.asarray(np.asarray(g, np.float32))
+                if b_sh is not None:
+                    wave = jax.device_put(wave, b_sh)
+                    g = jax.device_put(g, b_sh)
+                yield wave, g
 
         learner = DownstreamLearner(
             state=state, train_step=train_step, eval_step=eval_step,
