@@ -56,6 +56,13 @@ def build_parser():
                    help="real corpora dirs for prob-mixed pretraining")
     p.add_argument("--real-data-probs", type=float, nargs="+", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--resume-from-best", action="store_true",
+                   help="resume from best_model instead of latest "
+                        "(reference run_pretrain.py:213-223)")
+    p.add_argument("--extra-val-dirs", type=str, nargs="+", default=None,
+                   help="extra wav trees evaluated per epoch as separate "
+                        "splits (reference LOCATA/ACE test loaders, "
+                        "run_pretrain.py:256-265)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--mesh", type=str, default=None,
                    help="'DxM' data x model mesh, e.g. 8x1")
@@ -159,11 +166,15 @@ def main(argv=None):
         fresh_opt_each_epoch=args.parity,
         logger=MetricLogger(log_dir))
 
-    if args.resume and os.path.exists(ckpt.latest_path(ckpt_dir)):
-        payload = ckpt.load_checkpoint(ckpt.latest_path(ckpt_dir))
-        learner.state = ckpt.restore_state(learner.state, payload)
+    resume_path = (ckpt.best_path(ckpt_dir) if args.resume_from_best
+                   else ckpt.latest_path(ckpt_dir))
+    if (args.resume or args.resume_from_best) and os.path.exists(resume_path):
+        payload = ckpt.load_checkpoint(resume_path)
+        learner.state = ckpt.restore_state(
+            learner.state, payload, restore_opt=not args.resume_from_best)
         learner.epoch = payload["meta"]["epoch"] + 1
-        print(f"resumed from epoch {payload['meta']['epoch']}")
+        print(f"resumed from epoch {payload['meta']['epoch']} "
+              f"({os.path.basename(resume_path)})")
 
     def make_batches(split, epoch):
         if args.device_synth:
@@ -219,6 +230,17 @@ def main(argv=None):
         tm = learner.train_epoch(prefetched("train", epoch), tkey)
         vm = learner.eval_epoch(prefetched("val", epoch),
                                 jax.random.fold_in(root_key, 10_000 + epoch))
+        if args.extra_val_dirs:
+            for d in args.extra_val_dirs:
+                ds = FixMicSigDataset(d, data_num=args.val_num,
+                                      transforms=[Selecting((0, nsample))])
+                em = learner.eval_epoch(
+                    batch_iterator(ds, args.bs, shuffle=False,
+                                   num_workers=args.workers),
+                    jax.random.fold_in(root_key, 20_000 + epoch),
+                    split=f"val_{os.path.basename(d.rstrip('/'))}")
+                print(f"  extra val [{os.path.basename(d.rstrip('/'))}]: "
+                      f"loss {em['loss']:.5f}")
         learner.end_epoch(vm["loss"])
         print(f"epoch {epoch}: train loss {tm['loss']:.5f} "
               f"val loss {vm['loss']:.5f} diff {vm['diff']:.5f} "
