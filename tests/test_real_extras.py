@@ -24,25 +24,3 @@ def test_channel_per_file_corpus(tmp_path):
     assert sig.shape == (int(1.04 * FS), 2)
     assert np.isfinite(sig).all() and np.abs(sig).max() > 0
 
-
-def test_dechorate_h5_extractor(tmp_path):
-    h5py = pytest.importorskip("h5py")
-    from sarssl_tpu.data.extractors import DEchorateExtractor
-
-    root = tmp_path / "dech"
-    root.mkdir()
-    rng = np.random.default_rng(0)
-    with h5py.File(str(root / "master.hdf5"), "w") as f:
-        g = f.create_group("rir").create_group("room011")
-        rir = np.zeros((4000, 5), np.float32)
-        for m in range(5):
-            rir[60 + m, m] = 1.0
-            rir[200:600, m] = rng.standard_normal(400) * 0.02
-        g.create_dataset("src1", data=rir)
-    out = tmp_path / "out"
-    n = DEchorateExtractor(str(root), fs=16000).extract(str(out))
-    assert n > 0
-    files = list((out / "room011").glob("SP*_MP*.npy"))
-    assert files
-    r = np.load(str(files[0]))
-    assert r.shape[1] == 2 and np.isfinite(r).all()
