@@ -53,8 +53,15 @@ def build_parser():
     p.add_argument("--init-ckpt", type=str, default=None,
                    help="checkpoint dir to initialize from (best_model)")
     p.add_argument("--real-data-dirs", type=str, nargs="+", default=None,
-                   help="real corpora dirs for prob-mixed pretraining")
+                   help="real corpora dirs for prob-mixed pretraining "
+                        "(generic CorpusSpec readers)")
+    p.add_argument("--real-corpora", type=str, nargs="+", default=None,
+                   help="bespoke corpus readers as NAME=DIR (NAME in "
+                        "RealMAN/LOCATA/MCWSJ/LibriCSS/AMI/AISHELL4/M2MeT/"
+                        "CHiME3); mixed with --real-data-dirs")
     p.add_argument("--real-data-probs", type=float, nargs="+", default=None)
+    p.add_argument("--remove-spkoverlap", action="store_true",
+                   help="TextGrid speaker-overlap removal for AISHELL4/M2MeT")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--resume-from-best", action="store_true",
                    help="resume from best_model instead of latest "
@@ -176,6 +183,26 @@ def main(argv=None):
         print(f"resumed from epoch {payload['meta']['epoch']} "
               f"({os.path.basename(resume_path)})")
 
+    # real-corpus mixture is built ONCE (item tables use header-only
+    # duration probes); epochs only reseed the sampling
+    real_mix = None
+    if args.real_corpora or args.real_data_dirs:
+        from ..data import (RealMicSigDataset, RandomRealDataset, CorpusSpec,
+                            REAL_CORPORA)
+        sets = []
+        for entry in (args.real_corpora or []):
+            name, _, d = entry.partition("=")
+            assert _ == "=", f"--real-corpora entries are NAME=DIR: {entry}"
+            sets.append(REAL_CORPORA[name](
+                d, T=nsample / 16000, fs=16000, stage="train",
+                seed=args.seed, remove_spkoverlap=args.remove_spkoverlap))
+        for d in (args.real_data_dirs or []):
+            sets.append(RealMicSigDataset(d, CorpusSpec(os.path.basename(d)),
+                                          T=nsample / 16000, fs=16000,
+                                          seed=args.seed))
+        real_mix = RandomRealDataset(sets, probs=args.real_data_probs,
+                                     seed=args.seed)
+
     def make_batches(split, epoch):
         if args.device_synth:
             from ..data import DeviceSynthConfig, synth_batch_device
@@ -190,18 +217,21 @@ def main(argv=None):
                         jax.random.fold_in(base, i), args.bs, dcfg)
                     yield wave
             return gen()
-        if args.real_data_dirs:
-            # prob-mixed real corpora (reference run_pretrain.py:118-142)
-            from ..data import RealMicSigDataset, RandomRealDataset, CorpusSpec
-            sets = [RealMicSigDataset(d, CorpusSpec(os.path.basename(d)),
-                                      T=nsample / 16000, fs=16000,
-                                      seed=args.seed + epoch)
-                    for d in args.real_data_dirs]
-            mix = RandomRealDataset(sets, probs=args.real_data_probs,
-                                    dataset_sz=(args.train_num if split == "train"
-                                                else args.val_num),
-                                    seed=args.seed + epoch)
-            return batch_iterator(mix, args.bs, shuffle=False,
+        if real_mix is not None:
+            # prob-mixed real corpora (reference run_pretrain.py:118-142);
+            # built ONCE — per-epoch only the sampling keys change
+            num = args.train_num if split == "train" else args.val_num
+            base = (args.seed, 0 if split == "train" else 1, epoch)
+
+            class _EpochView:
+                def __len__(self):
+                    return num
+
+                def __getitem__(self, i):
+                    # per-index generator: deterministic and thread-safe
+                    return real_mix.sample(np.random.default_rng(base + (i,)))
+
+            return batch_iterator(_EpochView(), args.bs, shuffle=False,
                                   num_workers=args.workers)
         if args.synthetic:
             num = args.train_num if split == "train" else args.val_num

@@ -3,9 +3,10 @@ from .rooms import AcousticSamplerConfig, sample_acoustic_scene, MIC_ARRAY_2CH
 from .scene import SceneSynthesizer
 from .datasets import (FixMicSigDataset, OnTheFlyMicSigDataset, Selecting,
                        batch_iterator)
-from .wavio import read_wav, write_wav
+from .wavio import read_wav, write_wav, read_audio, audio_info
 from .real import (RealMicSigDataset, RandomRealDataset, CorpusSpec,
                    select_mic_pairs, ARRAY_GEOMETRIES, CORPUS_SPECS)
+from .corpora import REAL_CORPORA, CorpusReader
 from .real_rir import NpyRIRDataset, MicSigFromRIRDataset, dp_from_rir
 from .sources import SpeakerTreeDataset
 from .device_synth import DeviceSynthConfig, synth_batch_device
@@ -21,5 +22,6 @@ __all__ = [
     "AcousticSamplerConfig", "sample_acoustic_scene", "MIC_ARRAY_2CH",
     "SceneSynthesizer",
     "FixMicSigDataset", "OnTheFlyMicSigDataset", "Selecting", "batch_iterator",
-    "read_wav", "write_wav",
+    "read_wav", "write_wav", "read_audio", "audio_info",
+    "REAL_CORPORA", "CorpusReader",
 ]
