@@ -200,10 +200,9 @@ def main(argv=None):
             from ..parallel import make_mesh, make_sharded_downstream_step
             d, mm = map(int, args.mesh.split("x"))
             mesh = make_mesh(n_data=d, n_model=mm)
-            # note: lineareval freezing is not yet plumbed through the
-            # sharded step builder; finetune/scratch paths are.
             train_step, st_sh, b_sh = make_sharded_downstream_step(
-                model, feat_cfg, mesh, state, task=args.ds_task, donate=False)
+                model, feat_cfg, mesh, state, task=args.ds_task, donate=False,
+                trainable_mask=tmask)
             state = jax.device_put(state, st_sh)
         else:
             train_step = make_downstream_step(

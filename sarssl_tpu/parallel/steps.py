@@ -35,13 +35,14 @@ def state_shardings(mesh: Mesh, state):
 
 def make_sharded_pretrain_step(model, feat_cfg: FeatureConfig, mesh: Mesh,
                                state_template, mask_mode: str = "T",
-                               donate: bool = True):
+                               donate: bool = True, trainable_mask=None):
     """Returns (jitted_step, state_shardings_tree, batch_sharding)."""
     st_sh = state_shardings(mesh, state_template)
     b_sh = batch_sharding(mesh)
     rep = NamedSharding(mesh, P())
     step = jax.jit(
-        pretrain_step_body(model, feat_cfg, mask_mode),
+        pretrain_step_body(model, feat_cfg, mask_mode,
+                           trainable_mask=trainable_mask),
         in_shardings=(st_sh, b_sh, None, None),
         out_shardings=(st_sh, rep),
         donate_argnums=(0,) if donate else (),
@@ -51,12 +52,13 @@ def make_sharded_pretrain_step(model, feat_cfg: FeatureConfig, mesh: Mesh,
 
 def make_sharded_downstream_step(model, feat_cfg: FeatureConfig, mesh: Mesh,
                                  state_template, task: str = "TDOA",
-                                 donate: bool = True):
+                                 donate: bool = True, trainable_mask=None):
     st_sh = state_shardings(mesh, state_template)
     b_sh = batch_sharding(mesh)
     rep = NamedSharding(mesh, P())
     step = jax.jit(
-        downstream_step_body(model, feat_cfg, task),
+        downstream_step_body(model, feat_cfg, task,
+                             trainable_mask=trainable_mask),
         in_shardings=(st_sh, b_sh, b_sh, None, None),
         out_shardings=(st_sh, rep),
         donate_argnums=(0,) if donate else (),

@@ -89,3 +89,42 @@ def test_sharded_downstream_step_runs():
     gt = jax.device_put(jnp.asarray(tdoa / 16000.0), NamedSharding(mesh, P("data")))
     state, m = step(state, wave, gt, 1e-3, jax.random.key(0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_sharded_lineareval_freezes_loaded_params():
+    """trainable_mask plumbed through make_sharded_downstream_step: frozen
+    (loaded) encoder params must not move; the head must."""
+    from flax import serialization
+    from flax.traverse_util import flatten_dict
+    from sarssl_tpu.train.checkpoint import trainable_mask_from_loaded
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    model, state = _setup(pretrain=False)
+
+    # simulate a checkpoint load of both encoders
+    sd = flatten_dict(serialization.to_state_dict(jax.device_get(state.params)))
+    loaded_keys = ["/".join(map(str, k)) for k in sd
+                   if k[0] in ("spec_encoder", "spat_encoder")]
+    tmask = trainable_mask_from_loaded(state.params, loaded_keys)
+
+    step, st_sh, b_sh = make_sharded_downstream_step(
+        model, FEAT, mesh, state, task="TDOA", donate=False,
+        trainable_mask=tmask)
+    state = jax.device_put(state, st_sh)
+    wave, _ = synth_batch(np.random.default_rng(0), 8, NSAMPLE)
+    wave = jax.device_put(jnp.asarray(wave), b_sh)
+    gt = jax.device_put(jnp.zeros((8,), jnp.float32), b_sh)
+
+    before = jax.device_get(state.params)
+    state, m = step(state, wave, gt, 1e-2, jax.random.key(1))
+    after = jax.device_get(state.params)
+    assert np.isfinite(float(m["loss"]))
+
+    enc_b = flatten_dict(serialization.to_state_dict(before["spec_encoder"]))
+    enc_a = flatten_dict(serialization.to_state_dict(after["spec_encoder"]))
+    for k in enc_b:
+        np.testing.assert_array_equal(enc_b[k], enc_a[k],
+                                      err_msg=f"frozen param moved: {k}")
+    head_b = np.asarray(before["head_proj"]["kernel"])
+    head_a = np.asarray(after["head_proj"]["kernel"])
+    assert np.abs(head_b - head_a).max() > 0, "head did not train"
