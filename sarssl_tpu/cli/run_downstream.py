@@ -62,6 +62,11 @@ def build_parser():
     p.add_argument("--val-num", type=int, default=1000)
     p.add_argument("--test-num", type=int, default=4000)
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--nmic", type=int, default=2,
+                   help="microphone count; > 2 builds the multi-pair "
+                        "SARSSLMultiCH head (reference model.py:793-821)")
+    p.add_argument("--ch-mode", type=str, default="M", choices=["M", "MM"],
+                   help="mic pairing: ref-mic pairs or all pairs")
     p.add_argument("--seed", type=int, default=100)
     p.add_argument("--dtype", type=str, default="float32")
     p.add_argument("--cpu", action="store_true")
@@ -131,10 +136,19 @@ def main(argv=None):
     else:
         mcfg = SARSSLConfig(sig_shape=(256, nt, 2, 2), dtype=args.dtype,
                             pretrain=False, downstream_embed=args.ds_embed)
-    model = SARSSL(mcfg)
+    from ..ops.pairs import num_pairs, pairwise_tdoa
+    npair = num_pairs(args.nmic, args.ch_mode)
+    multipair = args.nmic > 2
+    dlabel = npair if (multipair and args.ds_task == "TDOA") else 1
+    if multipair:
+        from ..models import SARSSLMultiCH
+        feat_cfg = FeatureConfig(ch_mode=args.ch_mode)
+        model = SARSSLMultiCH(mcfg, nmic_pair=npair, task=args.ds_task)
+    else:
+        model = SARSSL(mcfg)
     root_key = set_seed(args.seed)
 
-    x0 = jnp.zeros((bs_set[0], 2, 256, nt, 2), jnp.float32)
+    x0 = jnp.zeros((bs_set[0] * npair, 2, 256, nt, 2), jnp.float32)
     init_state = create_train_state(model, jax.random.key(args.seed), x0, None)
     init_params_sd = serialization.to_state_dict(
         jax.device_get(init_state.params))
@@ -144,6 +158,9 @@ def main(argv=None):
     if args.pretrain_ckpt and args.ds_trainmode in ("finetune", "lineareval"):
         payload = load_checkpoint(best_path(args.pretrain_ckpt))
         pre_sd = payload["params"]
+        if multipair:
+            # the shared single-pair trunk lives under 'model_sch'
+            pre_sd = {"model_sch": pre_sd}
 
     def fresh_state():
         params = serialization.from_state_dict(init_state.params, init_params_sd)
@@ -169,6 +186,16 @@ def main(argv=None):
         if args.synthetic:
             num = {"train": train_num, "val": args.val_num,
                    "test": args.test_num}[split]
+            if multipair:
+                from ..data.synthetic import synth_batch_multich
+
+                def gen_multich():
+                    rng = np.random.default_rng(seed)
+                    for _ in range(max(1, num // bs)):
+                        wave, tdoa = synth_batch_multich(rng, bs, nsample,
+                                                         nch=args.nmic)
+                        yield wave, {"TDOA": tdoa / fs}
+                return gen_multich()
             gen = SyntheticPairs(nsample=nsample, seed=seed)
             return gen.batches(bs, max(1, num // bs), with_labels=True)
         data_dir = {"train": args.data_dir,
@@ -202,19 +229,24 @@ def main(argv=None):
             mesh = make_mesh(n_data=d, n_model=mm)
             train_step, st_sh, b_sh = make_sharded_downstream_step(
                 model, feat_cfg, mesh, state, task=args.ds_task, donate=False,
-                trainable_mask=tmask)
+                trainable_mask=tmask, dlabel=dlabel)
             state = jax.device_put(state, st_sh)
         else:
             train_step = make_downstream_step(
                 model, feat_cfg, task=args.ds_task, donate=False,
-                trainable_mask=tmask)
-        eval_step = make_downstream_eval_step(model, feat_cfg, task=args.ds_task)
+                trainable_mask=tmask, dlabel=dlabel)
+        eval_step = make_downstream_eval_step(model, feat_cfg,
+                                              task=args.ds_task, dlabel=dlabel)
 
         def batch_adapter(it):
             for wave, gt in it:
                 g = gt[args.ds_task] if isinstance(gt, dict) else gt
                 wave = jnp.asarray(wave)
                 g = jnp.asarray(np.asarray(g, np.float32))
+                if multipair and args.ds_task == "TDOA":
+                    # per-mic (vs mic 0) annotations -> per-pair targets
+                    g = pairwise_tdoa(g.reshape(g.shape[0], -1),
+                                      args.nmic, args.ch_mode)
                 if b_sh is not None:
                     wave = jax.device_put(wave, b_sh)
                     g = jax.device_put(g, b_sh)

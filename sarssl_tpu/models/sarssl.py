@@ -312,8 +312,9 @@ class SARSSLMultiCH(nn.Module):
     task: str = "TDOA"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        # x: (nb*nmic_pair, 2, nf, nt, nreim)
+    def __call__(self, x, mask=None, train: bool = False):
+        # x: (nb*nmic_pair, 2, nf, nt, nreim); mask unused (downstream-only
+        # trunk) but kept so step/init signatures match SARSSL
         c = self.cfg
         trunk_cfg = SARSSLConfig(**{**c.__dict__, "pretrain": False,
                                     "downstream_embed": "spat"})

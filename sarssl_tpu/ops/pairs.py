@@ -45,3 +45,24 @@ def num_pairs(nch: int, ch_mode: str = "M") -> int:
     if ch_mode == "MM":
         return nch * (nch - 1) // 2
     raise ValueError(f"Unrecognized microphone channel mode: {ch_mode}")
+
+
+def pairwise_tdoa(tdoa_ref: jax.Array, nch: int, ch_mode: str = "M") -> jax.Array:
+    """Expand per-mic TDOAs vs mic 0 into per-pair TDOAs in pair order.
+
+    tdoa_ref: (nb, nch-1) — arrival delay of mic k vs mic 0 (annotation
+    convention, data/annotations.py tdoa_from_geometry). Returns (nb, npair)
+    where pair order matches :func:`mic_pair_rebatch`: 'M' is (0,k) for
+    k=1..nch-1 (identity), 'MM' is upper-triangular (i<j) with
+    tdoa(i,j) = t_j - t_i and t_0 = 0.
+    """
+    nb = tdoa_ref.shape[0]
+    t = jnp.concatenate([jnp.zeros((nb, 1), tdoa_ref.dtype),
+                         tdoa_ref[:, :nch - 1]], axis=1)
+    if ch_mode == "M" or nch == 2:
+        return t[:, 1:]
+    if ch_mode == "MM":
+        import numpy as _np
+        ii, jj = _np.triu_indices(nch, k=1)
+        return t[:, jj] - t[:, ii]
+    raise ValueError(f"Unrecognized microphone channel mode: {ch_mode}")

@@ -52,13 +52,14 @@ def make_sharded_pretrain_step(model, feat_cfg: FeatureConfig, mesh: Mesh,
 
 def make_sharded_downstream_step(model, feat_cfg: FeatureConfig, mesh: Mesh,
                                  state_template, task: str = "TDOA",
-                                 donate: bool = True, trainable_mask=None):
+                                 donate: bool = True, trainable_mask=None,
+                                 dlabel: int = 1):
     st_sh = state_shardings(mesh, state_template)
     b_sh = batch_sharding(mesh)
     rep = NamedSharding(mesh, P())
     step = jax.jit(
         downstream_step_body(model, feat_cfg, task,
-                             trainable_mask=trainable_mask),
+                             trainable_mask=trainable_mask, dlabel=dlabel),
         in_shardings=(st_sh, b_sh, b_sh, None, None),
         out_shardings=(st_sh, rep),
         donate_argnums=(0,) if donate else (),

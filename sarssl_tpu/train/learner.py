@@ -163,10 +163,17 @@ class DownstreamLearner:
 
     def eval_epoch(self, batches, split="val") -> Dict[str, float]:
         tot, tot_mae, n = 0.0, 0.0, 0
+        tot_dims = None
         for wave, gt in batches:
             m = self.eval_step(self.state, wave, gt)
             tot += float(m["loss"]); tot_mae += float(m["mae"]); n += 1
+            if "mae_dims" in m:
+                d = np.asarray(m["mae_dims"], np.float64)
+                tot_dims = d if tot_dims is None else tot_dims + d
         metrics = {"loss": tot / max(n, 1), "mae": tot_mae / max(n, 1)}
+        if tot_dims is not None:
+            for k, v in enumerate(tot_dims / max(n, 1)):
+                metrics[f"mae_pair{k}"] = float(v)
         if self.logger:
             self.logger.log(split, self.epoch, metrics)
         return metrics

@@ -81,11 +81,12 @@ def make_pretrain_eval_step(model, feat_cfg: FeatureConfig, mask_mode: str = "T"
     return jax.jit(step)
 
 
-def _target_transform(task: str, gt):
+def _target_transform(task: str, gt, dlabel: int = 1):
     """Reference get_tar_batch semantics (learner.py:620-631; v1 extras at
     code_v1/learner.py:724-762): TDOA in samples (x fs); SUR/VOL in log10;
-    DRR/T60/C50/C80/ABS/SNR/DOA identity. Scalars-per-item expected."""
-    gt = gt.reshape(gt.shape[0], -1)[:, :1]
+    DRR/T60/C50/C80/ABS/SNR/DOA identity. dlabel > 1 keeps vector targets
+    (multi-pair TDOA heads, reference model.py:793-821)."""
+    gt = gt.reshape(gt.shape[0], -1)[:, :dlabel]
     if task == "TDOA":
         return gt * 16000.0
     if task in ("SUR", "VOL"):
@@ -94,14 +95,14 @@ def _target_transform(task: str, gt):
 
 
 def downstream_step_body(model, feat_cfg: FeatureConfig, task: str = "TDOA",
-                         trainable_mask=None):
+                         trainable_mask=None, dlabel: int = 1):
     """Un-jitted step body. trainable_mask: optional pytree of bools matching
     params; False leaves get zero updates (lineareval freezing, reference
     learner.py:427-446)."""
 
     def step(state, wave_batch, gt_batch, lr, rng):
         feats = stft_features(wave_batch, feat_cfg)
-        tar = _target_transform(task, gt_batch)
+        tar = _target_transform(task, gt_batch, dlabel)
 
         def loss_fn(params):
             (pred, _), mut = model.apply(
@@ -126,20 +127,26 @@ def downstream_step_body(model, feat_cfg: FeatureConfig, task: str = "TDOA",
 
 
 def make_downstream_step(model, feat_cfg: FeatureConfig, task: str = "TDOA",
-                         donate: bool = True, trainable_mask=None):
-    return jax.jit(downstream_step_body(model, feat_cfg, task, trainable_mask),
+                         donate: bool = True, trainable_mask=None,
+                         dlabel: int = 1):
+    return jax.jit(downstream_step_body(model, feat_cfg, task, trainable_mask,
+                                        dlabel),
                    donate_argnums=(0,) if donate else ())
 
 
-def make_downstream_eval_step(model, feat_cfg: FeatureConfig, task: str = "TDOA"):
+def make_downstream_eval_step(model, feat_cfg: FeatureConfig, task: str = "TDOA",
+                              dlabel: int = 1):
     def step(state, wave_batch, gt_batch):
         feats = stft_features(wave_batch, feat_cfg)
-        tar = _target_transform(task, gt_batch)
+        tar = _target_transform(task, gt_batch, dlabel)
         pred, embed = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             feats, None, False)
-        return {"loss": jnp.mean((pred - tar) ** 2),
-                "mae": jnp.mean(jnp.abs(pred - tar)),
-                "pred": pred, "embed": embed}
+        out = {"loss": jnp.mean((pred - tar) ** 2),
+               "mae": jnp.mean(jnp.abs(pred - tar)),
+               "pred": pred, "embed": embed}
+        if dlabel > 1:  # per-pair MAEs for multi-pair heads
+            out["mae_dims"] = jnp.mean(jnp.abs(pred - tar), axis=0)
+        return out
 
     return jax.jit(step)

@@ -49,3 +49,43 @@ def test_multich_head_on_paired_features():
     pred, joint = model.apply(v, feats, False)
     assert pred.shape == (2, nmic_pair)
     assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_pairwise_tdoa_expansion():
+    from sarssl_tpu.ops.pairs import pairwise_tdoa
+
+    t_ref = jnp.asarray([[1.0, 2.0, 3.0]])  # mics 1..3 vs mic 0
+    m = pairwise_tdoa(t_ref, 4, "M")
+    np.testing.assert_allclose(np.asarray(m), [[1.0, 2.0, 3.0]])
+    mm = pairwise_tdoa(t_ref, 4, "MM")
+    # triu pairs (0,1),(0,2),(0,3),(1,2),(1,3),(2,3): t_j - t_i
+    np.testing.assert_allclose(np.asarray(mm),
+                               [[1.0, 2.0, 3.0, 1.0, 2.0, 1.0]])
+
+
+def test_downstream_cli_4ch_mm(tmp_path):
+    """4-ch MM smoke through the CLI: multi-pair head + per-pair MAEs."""
+    from sarssl_tpu.cli.run_downstream import main
+
+    rc = main(["--smoke", "--nmic", "4", "--ch-mode", "MM",
+               "--exp-dir", str(tmp_path)])
+    assert rc in (0, None)
+
+
+def test_multipair_eval_reports_per_pair_mae():
+    from sarssl_tpu.ops import FeatureConfig
+    from sarssl_tpu.train import create_train_state
+    from sarssl_tpu.train.steps import make_downstream_eval_step
+    from sarssl_tpu.data.synthetic import synth_batch_multich
+    from sarssl_tpu.ops.pairs import pairwise_tdoa
+
+    feat = FeatureConfig(ch_mode="MM")
+    model = SARSSLMultiCH(CFG, nmic_pair=6, task="TDOA")
+    wave, tdoa = synth_batch_multich(np.random.default_rng(0), 2, NSAMPLE, 4)
+    feats = stft_features(jnp.asarray(wave), feat)
+    state = create_train_state(model, jax.random.key(0), feats, None)
+    ev = make_downstream_eval_step(model, feat, task="TDOA", dlabel=6)
+    gt = pairwise_tdoa(jnp.asarray(tdoa / 16000.0), 4, "MM")
+    m = ev(state, jnp.asarray(wave), gt)
+    assert m["mae_dims"].shape == (6,)
+    assert np.isfinite(np.asarray(m["mae_dims"])).all()
