@@ -40,6 +40,9 @@ def build_parser():
     p.add_argument("--warmup-epochs", type=int, default=0)
     p.add_argument("--fused-attention", action="store_true",
                    help="Pallas fused attention kernel (TPU)")
+    p.add_argument("--mel-bins", type=int, default=0,
+                   help="> 0: mel-scale features with this many bands "
+                        "(reference mel_scale option, learner.py:507-514)")
     p.add_argument("--train-num", type=int, default=512000)
     p.add_argument("--val-num", type=int, default=4000)
     p.add_argument("--workers", type=int, default=8)
@@ -107,23 +110,24 @@ def main(argv=None):
 
     ac = AcousticSetting()
     nsample = ac.nsample if not args.smoke else 2304
-    feat_cfg = FeatureConfig()
+    feat_cfg = FeatureConfig(mel_bins=args.mel_bins)
     nt = feat_cfg.num_frames(nsample)
+    nf = feat_cfg.nf_used  # 256 linear bins, or mel_bins on the mel scale
 
     if args.smoke:
         mcfg = SARSSLConfig(dtype="float32").tiny(
-            sig_shape=(256, nt, 2, 2), patch_shape=(256, 1),
+            sig_shape=(nf, nt, 2, 2), patch_shape=(nf, 1),
             spec_dembed=32, spat_dembed=16)
     else:
         mcfg = SARSSLConfig(
-            sig_shape=(256, nt, 2, 2), dtype=args.dtype,
+            sig_shape=(nf, nt, 2, 2), patch_shape=(nf, 1), dtype=args.dtype,
             fused_attention=args.fused_attention,
             frozen_encoder_pretext=args.pretrain_frozen_encoder)
 
     model = SARSSL(mcfg)
     root_key = set_seed(args.seed)
 
-    x0 = jnp.zeros((args.bs, 2, 256, nt, 2), jnp.float32)
+    x0 = jnp.zeros((args.bs, 2, nf, nt, 2), jnp.float32)
     m0 = gen_patch_mask(jax.random.key(0), args.bs, mcfg.npatch,
                         mcfg.effective_nmasked())
     state = create_train_state(model, jax.random.key(args.seed), x0, m0,

@@ -27,9 +27,14 @@ class FeatureConfig:
     eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
     stft_impl: str = "matmul"  # 'matmul' (MXU windowed-DFT) | 'fft'
+    mel_bins: int = 0  # > 0: HTK mel-scale projection of the re/im planes
+    # instead of linear bins (reference learner.py:507-514,548-549; n_mels=30)
+    fs: int = 16000
 
     @property
     def nf_used(self) -> int:
+        if self.mel_bins:
+            return self.mel_bins
         return int(self.nfft // 2 * self.fre_used_ratio)
 
     def num_frames(self, nsample: int) -> int:
@@ -77,10 +82,37 @@ def stft_features(mic_sig: jax.Array, cfg: FeatureConfig = FeatureConfig()) -> j
         pairs = mic_pair_rebatch(spec, cfg.ch_mode)    # (nb*npair, 2, nf, nt)
         reim = jnp.stack([pairs.real, pairs.imag], axis=-1)
 
-    if cfg.fre_used_ratio == 1.0:
+    if cfg.mel_bins:
+        # mel projection of the re/im planes (the reference applies
+        # torchaudio MelScale to view_as_real output, learner.py:548-549)
+        fb = mel_filterbank(cfg.mel_bins, reim.shape[2], cfg.fs,
+                            dtype=reim.dtype)
+        reim = jnp.einsum("bcftr,mf->bcmtr", reim, fb,
+                          preferred_element_type=jnp.float32)
+    elif cfg.fre_used_ratio == 1.0:
         reim = reim[:, :, 1 : cfg.nf_used + 1]  # drop DC (learner.py:515-518)
     elif cfg.fre_used_ratio == 0.5:
         reim = reim[:, :, : cfg.nf_used]
     else:
         raise ValueError("fre_used_ratio must be 1.0 or 0.5")
     return reim.astype(cfg.dtype)
+
+
+def mel_filterbank(n_mels: int, n_freqs: int, fs: int, fmin: float = 0.0,
+                   fmax: float = None, dtype=jnp.float32) -> jax.Array:
+    """HTK-scale triangular mel filterbank, (n_mels, n_freqs), unnormalized
+    (torchaudio MelScale defaults: mel_scale='htk', norm=None)."""
+    import numpy as np
+
+    fmax = fmax if fmax is not None else fs / 2
+    to_mel = lambda f: 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+    from_mel = lambda m: 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+    mel_pts = np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2)
+    f_pts = from_mel(mel_pts)                       # (n_mels + 2,)
+    freqs = np.linspace(0, fs / 2, n_freqs)         # (n_freqs,)
+    lower = (freqs[None, :] - f_pts[:-2, None]) / np.maximum(
+        f_pts[1:-1, None] - f_pts[:-2, None], 1e-9)
+    upper = (f_pts[2:, None] - freqs[None, :]) / np.maximum(
+        f_pts[2:, None] - f_pts[1:-1, None], 1e-9)
+    fb = np.maximum(0.0, np.minimum(lower, upper))  # (n_mels, n_freqs)
+    return jnp.asarray(fb, dtype=dtype)

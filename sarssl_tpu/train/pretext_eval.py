@@ -5,8 +5,10 @@ Equivalent of reference ``STFTLearner.pretrain_evaluate``
 grids as complex STFTs, prepend the dropped DC bin, ISTFT, peak-normalize,
 and compute masked/unmasked MSEs plus (optionally) PESQ.
 
-PESQ is a host-side metric with no TPU analogue; we use torchmetrics when
-installed and otherwise report NaN (the environment here ships without it).
+PESQ is a host-side metric with no TPU analogue; we use the real ``pesq``
+package / torchmetrics when installed, else the vendored P.862 model in
+``sarssl_tpu.utils.pesq`` (valid here because the pretext reconstruction is
+sample-aligned with its target by construction).
 """
 from __future__ import annotations
 
@@ -21,17 +23,12 @@ from ..ops.stft import istft
 
 
 def _pesq_fn():
-    try:
-        from torchmetrics.functional.audio.pesq import (
-            perceptual_evaluation_speech_quality)
-        import torch
+    from ..utils.pesq import pesq_wb
 
-        def fn(pred: np.ndarray, ref: np.ndarray, fs: int) -> float:
-            return float(perceptual_evaluation_speech_quality(
-                torch.from_numpy(pred), torch.from_numpy(ref), fs, "wb"))
-        return fn
-    except ImportError:
-        return None
+    def fn(pred: np.ndarray, ref: np.ndarray, fs: int) -> float:
+        return pesq_wb(ref, pred, fs)
+
+    return fn
 
 
 def reconstruct_waveforms(pred_tf: jax.Array, win_len: int = 512,

@@ -46,3 +46,34 @@ def test_features_4ch_pairs():
     sig = jnp.zeros((2, 4096, 4))
     out = stft_features(sig)
     assert out.shape == (6, 2, 256, 15, 2)
+
+
+def test_mel_filterbank_properties():
+    import numpy as np
+    from sarssl_tpu.ops.features import mel_filterbank
+
+    fb = np.asarray(mel_filterbank(30, 257, 16000))
+    assert fb.shape == (30, 257)
+    assert (fb >= 0).all() and fb.max() <= 1.0 + 1e-6
+    # triangles: each filter unimodal with a single peak
+    for m in range(30):
+        peak = fb[m].argmax()
+        assert (np.diff(fb[m][:peak + 1]) >= -1e-9).all()
+        assert (np.diff(fb[m][peak:]) <= 1e-9).all()
+    # HTK mel spacing: centers increase and spread out with frequency
+    centers = fb.argmax(axis=1)
+    assert (np.diff(centers) > 0).all()
+    assert np.diff(centers)[-1] > np.diff(centers)[0]
+
+
+def test_mel_features_shape():
+    import numpy as np
+    import jax.numpy as jnp
+    from sarssl_tpu.ops import FeatureConfig, stft_features
+
+    cfg = FeatureConfig(mel_bins=30)
+    sig = jnp.asarray(np.random.default_rng(0)
+                      .standard_normal((2, 2304, 2)).astype(np.float32))
+    feats = stft_features(sig, cfg)
+    assert feats.shape == (2, 2, 30, cfg.num_frames(2304), 2)
+    assert np.isfinite(np.asarray(feats)).all()
