@@ -200,20 +200,30 @@ class DownstreamLearner:
         return False
 
     def ensemble(self, k: int = 5):
-        """Uniform-average the last k best-epoch checkpoints
-        (reference learner.py:302-331); returns ensembled params."""
+        """Uniform-average the last k best-epoch checkpoints over the FULL
+        model state — params and BatchNorm running stats alike, like the
+        reference's whole-state-dict average (learner.py:302-331). Returns
+        ensembled params and installs the averaged batch_stats on
+        ``self.state``."""
         assert self.ckpt_dir, "ensembling needs a checkpoint dir"
+        from flax import serialization
+
         epochs = self.best_epochs[-k:]
-        plist = []
+        plist, blist = [], []
         for e in epochs:
             payload = ckpt.load_checkpoint(ckpt.epoch_path(self.ckpt_dir, e))
-            from flax import serialization
             plist.append(serialization.from_state_dict(
                 jax.device_get(self.state.params), payload["params"]))
+            blist.append(serialization.from_state_dict(
+                jax.device_get(self.state.batch_stats),
+                payload["batch_stats"]))
         if not plist:
             return self.state.params
         avg = ckpt.ensemble_params(plist)
-        ckpt.save_named(self.ckpt_dir, self.state.replace(params=avg),
+        avg_bs = ckpt.ensemble_params(blist)
+        self.state = self.state.replace(batch_stats=avg_bs)
+        ckpt.save_named(self.ckpt_dir,
+                        self.state.replace(params=avg, batch_stats=avg_bs),
                         "ensemble_model", epoch=-1,
                         max_score=self.stopper.best)
         return avg

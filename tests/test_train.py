@@ -159,3 +159,34 @@ def test_fresh_optimizer_reset():
     state2 = state.reset_optimizer()
     mu2 = jax.tree.leaves(state2.opt_state.inner_state)[0]
     assert float(jnp.abs(mu2).max()) == 0
+
+
+def test_learner_ensemble_averages_batch_stats(tmp_path):
+    """Ensembling covers the full state dict including BN running stats
+    (reference learner.py:302-331 averages the whole state dict)."""
+    from flax import serialization
+    from sarssl_tpu.train.learner import DownstreamLearner
+    from sarssl_tpu.train import checkpoint as ckpt
+
+    _, state = _state_and_model(seed=0)
+    learner = DownstreamLearner(state=state, train_step=None, eval_step=None,
+                                lr_init=1e-3, ckpt_dir=str(tmp_path))
+
+    stats = []
+    for e in (0, 1):
+        bs = jax.tree.map(lambda x: jnp.asarray(x) + float(e + 1),
+                          state.batch_stats)
+        st = state.replace(batch_stats=bs)
+        ckpt.save_checkpoint(str(tmp_path), st, epoch=e, max_score=0.0,
+                             keep_epoch=True)
+        stats.append(jax.device_get(bs))
+        learner.best_epochs.append(e)
+
+    learner.ensemble(k=2)
+    payload = ckpt.load_checkpoint(ckpt.ensemble_path(str(tmp_path)))
+    got = serialization.from_state_dict(jax.device_get(state.batch_stats),
+                                        payload["batch_stats"])
+    want = jax.tree.map(lambda a, b: (np.asarray(a) + np.asarray(b)) / 2,
+                        *stats)
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-6)
