@@ -40,7 +40,14 @@ def build_parser():
     p.add_argument("--fs", type=int, default=16000)
     p.add_argument("--save-dp", action="store_true")
     p.add_argument("--noise", type=str, default="diffuse_white",
-                   choices=["diffuse_white", "spatial_white", ""])
+                   choices=["diffuse_white", "spatial_white", "diffuse_babble",
+                            "diffuse_xsrc", "real_world", ""])
+    p.add_argument("--noise-dir", type=str, default=None,
+                   help="wav tree for diffuse_xsrc / real_world noise")
+    p.add_argument("--mic-vad", type=str, default=None,
+                   choices=["dp_ratio"],
+                   help="save a frame-level VAD annotation "
+                        "(utils_simu_rir_sig.py:1026-1041)")
     p.add_argument("--t60-range", type=float, nargs=2, default=[0.2, 1.3])
     p.add_argument("--room-x", type=float, nargs=2, default=[3.0, 15.0])
     p.add_argument("--room-y", type=float, nargs=2, default=[3.0, 10.0])
@@ -49,14 +56,16 @@ def build_parser():
 
 
 def _gen_one(idx: int, *, seed: int, save_dir: str, T: float, fs: int,
-             save_dp: bool, noise: str, t60_range, room_ranges):
+             save_dp: bool, noise: str, t60_range, room_ranges,
+             noise_paths=(), mic_vad=None):
     from ..data.rooms import AcousticSamplerConfig
     from ..data.scene import SceneSynthesizer
     from ..data.wavio import write_wav
 
     cfg = AcousticSamplerConfig(room_sz_range=room_ranges,
                                 T60_range=tuple(t60_range), fs=fs)
-    synth = SceneSynthesizer(cfg=cfg, T=T, noise_type=noise)
+    synth = SceneSynthesizer(cfg=cfg, T=T, noise_type=noise,
+                             noise_paths=tuple(noise_paths), mic_vad=mic_vad)
     sig, info = synth.generate(seed=seed + idx)
     write_wav(os.path.join(save_dir, f"{idx}.wav"), sig, fs)
     if save_dp:
@@ -73,10 +82,16 @@ def main(argv=None):
     os.makedirs(args.save_dir, exist_ok=True)
     seed = STAGE_SEEDS[args.stage]
     room_ranges = (tuple(args.room_x), tuple(args.room_y), tuple(args.room_z))
+    noise_paths = ()
+    if args.noise_dir:
+        from pathlib import Path
+        noise_paths = tuple(str(p) for p in
+                            sorted(Path(args.noise_dir).rglob("*.wav")))
     work = functools.partial(
         _gen_one, seed=seed, save_dir=args.save_dir, T=args.T, fs=args.fs,
         save_dp=args.save_dp, noise=args.noise, t60_range=args.t60_range,
-        room_ranges=room_ranges)
+        room_ranges=room_ranges, noise_paths=noise_paths,
+        mic_vad=args.mic_vad)
 
     if args.workers <= 1:
         for i in range(args.data_num):

@@ -161,3 +161,28 @@ def annotate_scene(cfg: Dict, rir: np.ndarray, rir_dp: np.ndarray,
         annos["ABS"] = np.float32(mean_absorption(cfg["room_sz"],
                                                   cfg["T60_edc"]))
     return annos
+
+
+def mic_vad_dp_ratio(mic_sig: np.ndarray, mic_sig_dp: np.ndarray,
+                     fs: int = 16000, win_s: float = 0.032,
+                     eps: float = 1e-10) -> np.ndarray:
+    """Frame-wise direct-path-to-mixture energy ratio as a soft VAD
+    (reference 'dp_ratio' mode, utils_simu_rir_sig.py:1026-1041): per 32-ms
+    window, ratio of the direct-path signal energy (channel 0) to the full
+    mixture energy, broadcast back to samples. Returns (nsample, nsrc)
+    float16 — threshold at ~1e-6 for a binary decision."""
+    sig = np.asarray(mic_sig)
+    dp = np.asarray(mic_sig_dp)
+    if dp.ndim == 2:            # (nsample, nmic) single source
+        dp = dp[:, :, None]
+    nsample = sig.shape[0]
+    nsrc = dp.shape[2]
+    win = int(fs * win_s)
+    nt = nsample // win
+    out = np.zeros((nsample, nsrc), np.float32)
+    for t in range(nt):
+        st, ed = t * win, (t + 1) * win
+        num = np.sum(dp[st:ed, 0, :] ** 2, axis=0)
+        den = np.sum(sig[st:ed, 0] ** 2) + eps
+        out[st:ed, :] = num[None, :] / den
+    return out.astype(np.float16)

@@ -91,3 +91,87 @@ def measured_coherence(noise: np.ndarray, nfft: int = 256):
     phi = np.mean(np.abs(X) ** 2, axis=2)
     psi = np.mean(X[0] * np.conj(X[1]), axis=-1)
     return np.real(psi / np.sqrt(phi[0] * phi[1] + 1e-12))
+
+
+def pad_cut_same(sig: np.ndarray, n: int, rng: np.random.Generator) -> np.ndarray:
+    """Repeat-pad then random-cut to n samples (reference
+    pad_cut_sig_sameutt, utils_real_micsig.py:19-33)."""
+    while sig.shape[0] < n:
+        sig = np.concatenate([sig, sig], axis=0)
+    st = int(rng.integers(0, sig.shape[0] - n + 1))
+    return sig[st:st + n]
+
+
+def babble_noise(rng: np.random.Generator, nsample: int, mic_pos: np.ndarray,
+                 fs: int, speech_sampler, nspeech: int = 10,
+                 c: float = 343.0, eps: float = 1e-8) -> np.ndarray:
+    """Diffuse babble: M independent sums of ``nspeech`` utterances, mixed
+    to the isotropic coherence field (reference utils_noise.py:73-91)."""
+    M = mic_pos.shape[0]
+    chans = np.zeros((nsample, M))
+    for m in range(M):
+        acc = np.zeros(nsample)
+        for _ in range(nspeech):
+            sp = np.asarray(speech_sampler(rng), float).reshape(-1)
+            sp = pad_cut_same(sp, nsample, rng)
+            acc += sp - sp.mean()
+        chans[:, m] = acc
+    out = _diffuse_mix(chans, mic_pos, fs, c)
+    return out / (np.max(np.abs(out)) + eps)
+
+
+def xsrc_noise(rng: np.random.Generator, nsample: int, mic_pos: np.ndarray,
+               fs: int, recording: np.ndarray, rec_fs: int,
+               c: float = 343.0, eps: float = 1e-8) -> np.ndarray:
+    """Diffuse noise whose M channels are M disjoint stretches of one long
+    single-channel recording (reference 'diffuse_xsrc',
+    utils_noise.py:93-112)."""
+    M = mic_pos.shape[0]
+    rec = np.asarray(recording, float).reshape(-1)
+    need = int(nsample / fs * rec_fs) * M
+    rec = pad_cut_same(rec, need, rng)
+    if rec_fs != fs:
+        rec = scipy.signal.resample_poly(rec, fs, rec_fs)
+    rec = rec - rec.mean()
+    L = nsample
+    chans = np.stack([rec[m * L:(m + 1) * L] for m in range(M)], axis=1)
+    out = _diffuse_mix(chans, mic_pos, fs, c)
+    return out / (np.max(np.abs(out)) + eps)
+
+
+def real_world_noise(rng: np.random.Generator, nsample: int, nmic: int,
+                     recording: np.ndarray, rec_fs: int, fs: int,
+                     eps: float = 1e-8) -> np.ndarray:
+    """Recorded multichannel noise, pad-cut and resampled (reference
+    'real_world', utils_noise.py:115-128). Channel count must match the
+    array."""
+    rec = np.asarray(recording, float)
+    if rec.ndim == 1:
+        rec = rec[:, None]
+    if rec.shape[1] != nmic:
+        raise ValueError(f"real-world noise has {rec.shape[1]} channels, "
+                         f"array has {nmic}")
+    need = int(nsample / fs * rec_fs)
+    rec = pad_cut_same(rec, need, rng)
+    if rec_fs != fs:
+        rec = scipy.signal.resample_poly(rec, fs, rec_fs, axis=0)
+    rec = rec[:nsample]
+    return rec / (np.max(np.abs(rec)) + eps)
+
+
+def _diffuse_mix(chans: np.ndarray, mic_pos: np.ndarray, fs: int,
+                 c: float = 343.0, nfft: int = 256) -> np.ndarray:
+    """Impose the isotropic spherical coherence on independent channels."""
+    nsample, M = chans.shape
+    w_rad = 2 * math.pi * fs * np.arange(nfft // 2 + 1) / nfft
+    DC = desired_spatial_coherence(mic_pos, w_rad, c)
+    C = mix_matrix(DC)
+    _, _, N = scipy.signal.stft(chans.T, window="hann", nperseg=nfft,
+                                noverlap=int(0.75 * nfft), nfft=nfft)
+    X = np.einsum("fmn,mft->nft", np.conj(C), N)
+    _, out = scipy.signal.istft(X, window="hann", nperseg=nfft,
+                                noverlap=int(0.75 * nfft), nfft=nfft)
+    out = out.T[:nsample]
+    if out.shape[0] < nsample:
+        out = np.pad(out, ((0, nsample - out.shape[0]), (0, 0)))
+    return out

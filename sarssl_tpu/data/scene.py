@@ -27,8 +27,16 @@ class SceneSynthesizer:
     cfg: AcousticSamplerConfig = field(default_factory=AcousticSamplerConfig)
     T: float = 4.112
     snr_range: Tuple[float, float] = (15.0, 30.0)
-    noise_type: str = "diffuse_white"
+    noise_type: str = "diffuse_white"  # + 'spatial_white' | 'diffuse_babble'
+    # | 'diffuse_xsrc' | 'real_world' | '' (utils_noise.py:39-140)
     max_regen: int = 10
+    # 'diffuse_babble': callable(rng) -> single-channel speech for babble
+    babble_sampler: Optional[Callable] = None
+    # 'diffuse_xsrc' / 'real_world': wav paths sampled uniformly
+    noise_paths: Tuple[str, ...] = ()
+    mic_vad: Optional[str] = None  # 'dp_ratio' adds annos['mic_vad_src']
+    # (utils_simu_rir_sig.py:1026-1041; 'src_webrtc' needs webrtcvad which
+    # is not in this environment)
 
     def generate(self, seed: int,
                  source_fn: Optional[Callable[[np.random.Generator, int], np.ndarray]] = None,
@@ -71,12 +79,29 @@ class SceneSynthesizer:
         mic_clean, _ = ism.rir_conv_src(rir, src, fs)
         mic_dp, _ = ism.rir_conv_src(rir_dp, src, fs)
 
+        nmic = cfg["mic_pos"].shape[0]
         if self.noise_type == "diffuse_white":
             noi = noise_mod.diffuse_noise(rng, nsample, cfg["mic_pos"], fs, c)
         elif self.noise_type == "spatial_white":
-            noi = noise_mod.spatial_white(rng, nsample, cfg["mic_pos"].shape[0])
+            noi = noise_mod.spatial_white(rng, nsample, nmic)
+        elif self.noise_type == "diffuse_babble":
+            sampler = self.babble_sampler or (
+                lambda r: _default_source(r, nsample)[:, 0])
+            noi = noise_mod.babble_noise(rng, nsample, cfg["mic_pos"], fs,
+                                         sampler)
+        elif self.noise_type in ("diffuse_xsrc", "real_world"):
+            assert self.noise_paths, f"{self.noise_type} noise needs wav paths"
+            from .wavio import read_wav
+            rec, rec_fs = read_wav(
+                self.noise_paths[int(rng.integers(len(self.noise_paths)))])
+            if self.noise_type == "diffuse_xsrc":
+                noi = noise_mod.xsrc_noise(rng, nsample, cfg["mic_pos"], fs,
+                                           rec[:, 0], rec_fs, c)
+            else:
+                noi = noise_mod.real_world_noise(rng, nsample, nmic, rec,
+                                                 rec_fs, fs)
         elif self.noise_type == "":
-            noi = np.zeros((nsample, cfg["mic_pos"].shape[0]))
+            noi = np.zeros((nsample, nmic))
         else:
             raise ValueError(self.noise_type)
         snr = rng.uniform(*self.snr_range)
@@ -87,6 +112,13 @@ class SceneSynthesizer:
         mic_dp = (mic_dp / peak * 0.9).astype(np.float32)
 
         annos = annotate_scene(cfg, rir, rir_dp, fs, c)
+        if self.mic_vad == "dp_ratio":
+            from .annotations import mic_vad_dp_ratio
+            annos["mic_vad_src"] = mic_vad_dp_ratio(mic_sig, mic_dp, fs)
+        elif self.mic_vad:
+            raise ValueError(f"unsupported mic_vad mode: {self.mic_vad} "
+                             f"(only 'dp_ratio'; 'src_webrtc' needs the "
+                             f"webrtcvad package)")
         info = {"SNR": np.float32(snr), "T60_specify": cfg["T60_specify"],
                 "T60_sabine": cfg["T60_sabine"], "T60_edc": t60_edc,
                 "room_sz": np.asarray(cfg["room_sz"], np.float32),

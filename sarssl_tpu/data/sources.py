@@ -18,15 +18,42 @@ import scipy.signal
 from .wavio import read_wav
 
 
+def remove_silence(sig: np.ndarray, fs: int, frame_ms: float = 30.0,
+                   rel_threshold: float = 0.02,
+                   min_keep_ratio: float = 0.1) -> np.ndarray:
+    """Drop silent frames from an utterance, LibriSpeech-cleaning style
+    (reference utils_src.py:125-231 uses webrtcvad frame decisions; this is
+    the energy-gate equivalent for environments without it: 30-ms frames
+    whose RMS falls below ``rel_threshold`` x the utterance's active RMS are
+    removed, unless that would delete almost everything)."""
+    n = int(fs * frame_ms / 1000)
+    nt = len(sig) // n
+    if nt == 0:
+        return sig
+    frames = sig[: nt * n].reshape(nt, n)
+    rms = np.sqrt(np.mean(frames ** 2, axis=1))
+    ref = np.percentile(rms, 90) + 1e-12
+    keep = rms >= rel_threshold * ref
+    if keep.sum() < max(1, int(min_keep_ratio * nt)):
+        return sig
+    out = frames[keep].reshape(-1)
+    tail = sig[nt * n:]
+    return np.concatenate([out, tail]) if tail.size else out
+
+
 class SpeakerTreeDataset:
-    """dir/<speaker>/**.wav (or .flac) corpora: WSJ0, LibriSpeech, ..."""
+    """dir/<speaker>/**.wav (or .flac) corpora: WSJ0, LibriSpeech, ...
+
+    ``clean_silence=True`` reproduces the reference's LibriSpeech reader
+    behavior (VAD-trimmed utterances, utils_src.py:125-231)."""
 
     def __init__(self, data_dir: str, T: float, fs: int = 16000,
                  num_source: int = 1, seed: int = 0,
-                 exts: tuple = (".wav",)):
+                 exts: tuple = (".wav",), clean_silence: bool = False):
         self.T = T
         self.fs = fs
         self.num_source = num_source
+        self.clean_silence = clean_silence
         self._rng = np.random.default_rng(seed)
         self.by_speaker: Dict[str, List[str]] = {}
         root = Path(data_dir)
@@ -46,6 +73,8 @@ class SpeakerTreeDataset:
         sig = sig[:, 0]
         if file_fs != self.fs:
             sig = scipy.signal.resample_poly(sig, self.fs, file_fs)
+        if self.clean_silence:
+            sig = remove_silence(sig, self.fs)
         return sig.astype(np.float32)
 
     def sample(self, rng: Optional[np.random.Generator] = None) -> np.ndarray:

@@ -147,3 +147,80 @@ def test_scene_synthesizer_end_to_end():
     # TDOA bounded by mic spacing / c
     d = np.linalg.norm(info["mic_pos"][0] - info["mic_pos"][1])
     assert abs(info["TDOA"]) <= d / 343.0 + 1e-6
+
+
+def test_babble_and_xsrc_noise_are_diffuse():
+    """New noise types keep the isotropic coherence structure: channels are
+    correlated at low frequency, decorrelated at high frequency."""
+    from sarssl_tpu.data import noise as nm
+
+    rng = np.random.default_rng(0)
+    fs, n = 16000, 16000
+    mic_pos = np.array([[0.0, 0, 0], [0.1, 0, 0]])
+
+    def speech(r):
+        x = r.standard_normal(n)
+        x[1:] += 0.8 * x[:-1]
+        return x
+
+    bab = nm.babble_noise(rng, n, mic_pos, fs, speech, nspeech=4)
+    assert bab.shape == (n, 2) and np.isfinite(bab).all()
+    coh = nm.measured_coherence(bab)
+    assert coh[2] > 0.8 and abs(coh[-10]) < 0.4
+
+    rec = speech(rng)
+    xs = nm.xsrc_noise(rng, n, mic_pos, fs, rec, fs)
+    assert xs.shape == (n, 2)
+    coh2 = nm.measured_coherence(xs)
+    assert coh2[2] > 0.7
+
+    rw = nm.real_world_noise(rng, n, 2, np.stack([rec, rec], 1), 8000, fs)
+    assert rw.shape == (n, 2)
+    import pytest
+    with pytest.raises(ValueError):
+        nm.real_world_noise(rng, n, 3, np.stack([rec, rec], 1), fs, fs)
+
+
+def test_dp_ratio_vad():
+    from sarssl_tpu.data.annotations import mic_vad_dp_ratio
+
+    fs = 16000
+    n = fs
+    rng = np.random.default_rng(0)
+    dp = np.zeros((n, 2))
+    dp[: n // 2] = rng.standard_normal((n // 2, 2))  # active first half
+    noise = 0.01 * rng.standard_normal((n, 2))
+    mix = dp + noise
+    vad = mic_vad_dp_ratio(mix, dp, fs)
+    assert vad.shape == (n, 1) and vad.dtype == np.float16
+    win = int(fs * 0.032)
+    assert float(vad[: (n // 2 // win) * win].mean()) > 0.5
+    assert float(vad[n // 2 + win:].mean()) < 0.05
+
+
+def test_scene_babble_and_vad(tmp_path):
+    from sarssl_tpu.data.scene import SceneSynthesizer
+    from sarssl_tpu.data.rooms import AcousticSamplerConfig
+
+    cfg = AcousticSamplerConfig(room_sz_range=((4, 6), (4, 6), (2.5, 3)),
+                                T60_range=(0.3, 0.5))
+    synth = SceneSynthesizer(cfg=cfg, T=0.5, noise_type="diffuse_babble",
+                             mic_vad="dp_ratio")
+    sig, info = synth.generate(seed=3)
+    assert sig.shape[1] == 2 and np.isfinite(sig).all()
+    assert "mic_vad_src" in info and info["mic_vad_src"].shape[0] == sig.shape[0]
+
+
+def test_remove_silence_energy_gate():
+    from sarssl_tpu.data.sources import remove_silence
+
+    fs = 16000
+    rng = np.random.default_rng(0)
+    sig = np.concatenate([np.zeros(fs), rng.standard_normal(fs),
+                          np.zeros(fs)])
+    out = remove_silence(sig, fs)
+    assert len(out) < 1.3 * fs
+    assert np.abs(out).std() > 0.5
+    # all-silence input survives untouched (min-keep guard)
+    quiet = 1e-8 * rng.standard_normal(fs)
+    assert len(remove_silence(quiet, fs)) == fs
