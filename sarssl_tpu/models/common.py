@@ -5,13 +5,15 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..kernels.dropout import tpu_dropout
+from ..kernels.dropout import fused_dropout
 
 
 class Dropout(nn.Module):
-    """Dropout that uses the Pallas hardware-PRNG kernel on TPU backends
-    (regenerated-mask custom VJP; see kernels/dropout.py) and falls back to
-    flax semantics elsewhere. Drop-in for ``nn.Dropout`` with
+    """Dropout whose mask is a counter-hash computed in plain XLA ops so it
+    fuses into the surrounding elementwise chains (kernels/dropout.py
+    ``fused_dropout``). The earlier Pallas hardware-PRNG kernel was an
+    opaque boundary costing an extra HBM read+write per site — ~19 ms of a
+    178 ms train step at batch 128. Drop-in for ``nn.Dropout`` with
     ``deterministic`` passed at call time."""
 
     rate: float
@@ -21,4 +23,4 @@ class Dropout(nn.Module):
         if deterministic or self.rate == 0.0:
             return x
         key = self.make_rng("dropout")
-        return tpu_dropout(x, key, self.rate, deterministic=False)
+        return fused_dropout(x, key, self.rate, deterministic=False)
