@@ -54,6 +54,37 @@ def stft_features(mic_sig: jax.Array, cfg: FeatureConfig = FeatureConfig()) -> j
     real matmuls on the MXU (TPUs have no FFT hardware) and real/imag stay
     separate planes throughout.
     """
+    if cfg.stft_impl == "matmul" and cfg.mel_bins == 0 and cfg.fre_used_ratio == 1.0:
+        # Fast path for the flagship configuration: ONE interleaved
+        # windowed-DFT matmul emits exactly the used bins 1..nfft/2 as
+        # (..., nf, re/im) pairs — no separate re/im matmuls, no stack, and
+        # no post-hoc DC-drop slice (each of those is a full-tensor HBM
+        # pass; together they were ~9 ms of the 162 ms train step). The
+        # reference's normalizer averages |X0| over ALL nfft/2+1 bins
+        # (learner.py:537-542), so the skipped DC bin re-enters the mean
+        # via a cheap window matvec (DC imag is identically 0).
+        from .stft import _dft_matrices, frame_signal, hann_window
+
+        hop = int(cfg.win_len * cfg.win_shift_ratio)
+        nfb = cfg.nfft // 2
+        x = jnp.moveaxis(mic_sig, -1, 1)               # (nb, nch, nsample)
+        frames = frame_signal(x, cfg.win_len, hop)     # (nb, nch, nt, win)
+        C, S = _dft_matrices(cfg.win_len, cfg.nfft, frames.dtype)
+        CS = jnp.stack([C[:, 1:], S[:, 1:]], axis=-1)  # (win, nfb, 2)
+        CS = CS.reshape(cfg.win_len, 2 * nfb)          # interleaved re/im
+        out = jnp.matmul(frames, CS, preferred_element_type=jnp.float32)
+        out = out.reshape(out.shape[:-1] + (nfb, 2))   # (nb, nch, nt, nf, 2)
+
+        dc = jnp.matmul(frames[:, 0], hann_window(cfg.win_len, frames.dtype),
+                        preferred_element_type=jnp.float32)  # (nb, nt)
+        mag0 = jnp.sqrt(out[:, 0, :, :, 0] ** 2 + out[:, 0, :, :, 1] ** 2)
+        total = jnp.sum(mag0.reshape(mag0.shape[0], -1), axis=1) \
+            + jnp.sum(jnp.abs(dc), axis=1)
+        nt = out.shape[2]
+        mean = total / (nt * (nfb + 1))
+        reim = jnp.transpose(out, (0, 1, 3, 2, 4))     # (nb, nch, nf, nt, 2)
+        reim = reim / (mean[:, None, None, None, None] + cfg.eps)
+        return mic_pair_rebatch(reim, cfg.ch_mode).astype(cfg.dtype)
     if cfg.stft_impl == "matmul":
         from .stft import _dft_matrices, frame_signal
 

@@ -19,6 +19,8 @@ def mic_pair_rebatch(data: jax.Array, ch_mode: str = "M") -> jax.Array:
     nb, nch = data.shape[0], data.shape[1]
     if ch_mode == "1" or nch == 1:
         return data
+    if nch == 2 and ch_mode in ("M", "MM"):
+        return data  # the only pair is (0, 1): already the input layout
     if ch_mode == "M":
         ref = jnp.broadcast_to(data[:, 0:1], (nb, nch - 1) + data.shape[2:])
         oth = data[:, 1:]
