@@ -52,6 +52,9 @@ class AcousticSamplerConfig:
     array_pos_ratio_range: Sequence = ((0.3, 0.7), (0.3, 0.7), (0.2, 0.5))
     num_source_range: Tuple[int, int] = (1, 1)
     source_state: str = "static"
+    traj_pt_mode: str = "time"  # 'time' | 'distance_line' | 'distance_sin'
+    # (reference utils_simu_rir_sig.py:323-361: adaptive point counts, one
+    # point per ~10 cm of line / arc length)
     min_src_array_dist: float = 0.5
     min_src_boundary_dist: float = 0.3
     nb_points: int = 1
@@ -165,13 +168,61 @@ def sample_trajectory(rng: np.random.Generator, cfg: AcousticSamplerConfig,
             p1 = lo + rng.random(3) * (hi - lo)
             Amax = np.min(np.stack([p0 - lo, hi - p0, p1 - lo, hi - p1]), axis=0)
             A = rng.random(3) * np.minimum(Amax, 1.0)
-            w = 2 * np.pi / cfg.nb_points * rng.random(3) * 2
-            line = np.stack([np.linspace(a, bb, cfg.nb_points)
-                             for a, bb in zip(p0, p1)], axis=1)
-            osc = A * np.sin(w * np.arange(cfg.nb_points)[:, None])
-            trajs.append(line + osc)
+            if cfg.traj_pt_mode == "time":
+                npt = cfg.nb_points
+                w = 2 * np.pi / npt * rng.random(3) * 2
+                line = np.stack([np.linspace(a, bb, npt)
+                                 for a, bb in zip(p0, p1)], axis=1)
+                osc = A * np.sin(w * np.arange(npt)[:, None])
+                trajs.append(line + osc)
+            elif cfg.traj_pt_mode == "distance_line":
+                # adaptive point count: one point per ~10 cm of straight-line
+                # distance (utils_simu_rir_sig.py:329-335; the reference's
+                # distance expression reduces to |sum(p1-p0)| — we use the
+                # intended Euclidean norm)
+                desired = 0.1
+                npt = int(np.linalg.norm(p1 - p0) // desired + 1)
+                w = 2 * np.pi / npt * rng.random(3) * 2
+                line = np.stack([np.linspace(a, bb, npt)
+                                 for a, bb in zip(p0, p1)], axis=1)
+                osc = A * np.sin(w * np.arange(npt)[:, None])
+                trajs.append(line + osc)
+            elif cfg.traj_pt_mode == "distance_sin":
+                # walk the sinusoid so ADJACENT points are ~10 cm apart in
+                # arc length (utils_simu_rir_sig.py:336-361): successive
+                # deltas along the line direction solved by bounded 1-D
+                # minimization of the point-to-point distance error
+                desired = 0.1
+                dist = float(np.linalg.norm(p1 - p0))
+                dirv = (p1 - p0) / max(dist, 1e-9)
+                w = 2 * np.pi / max(dist, 1e-9) * rng.random(3) * 2
+                pts, lines = [], []
+                t = 0.0
+                while t < dist:
+                    line = p0 + dirv * t
+                    pos0 = line + A * np.sin(w * t)
+                    pts.append(pos0)
+                    lines.append(line)
+
+                    def err(dt, t=t, pos0=pos0):
+                        pn = (p0 + dirv * (t + dt[0])
+                              + A * np.sin(w * (t + dt[0])))
+                        return abs(np.linalg.norm(pn - pos0) - desired)
+
+                    for factor in (1.0, 1.5, 3.0):
+                        res = minimize(err, x0=[desired / 10],
+                                       bounds=[(0, desired * factor)],
+                                       tol=desired / 100)
+                        if res.fun < desired / 100:
+                            break
+                    t += max(float(res.x[0]), desired / 100)
+                trajs.append(np.asarray(pts))
+            else:
+                raise ValueError(cfg.traj_pt_mode)
         else:
             raise ValueError(cfg.source_state)
+    npt_min = min(t.shape[0] for t in trajs)
+    trajs = [t[:npt_min] for t in trajs]
     return np.stack(trajs, axis=-1)  # (npt, 3, nsrc)
 
 

@@ -84,12 +84,16 @@ class RelPosSelfAttention(nn.Module):
         # pos bias: (b,h,i,j) = (q+v) . p_j, relative-shifted
         pos = jnp.einsum("bihd,jhd->bhij", q + v_bias.astype(self.dtype), p,
                          preferred_element_type=jnp.float32)
-        pos = _relative_shift(pos)
         # reference scales by sqrt(d_model), not sqrt(d_head) (attention.py:58,91)
         scale = 1.0 / math.sqrt(self.d_model)
 
         drop_active = (not deterministic) and self.dropout > 0.0
-        if self.fused and jax.default_backend() == "tpu":
+        use_fused = self.fused and jax.default_backend() == "tpu"
+        # the fused kernel consumes pos at compute dtype; casting BEFORE the
+        # relative shift is bitwise identical (the shift is pure data
+        # movement) and halves the shift's HBM passes on the (b,h,l,l) bias.
+        pos = _relative_shift(pos.astype(self.dtype) if use_fused else pos)
+        if use_fused:
             from ..kernels.attention import fused_attention
 
             if drop_active:
@@ -102,8 +106,7 @@ class RelPosSelfAttention(nn.Module):
             qu = jnp.transpose(q + u_bias.astype(self.dtype), (0, 2, 1, 3))
             kt = jnp.transpose(k, (0, 2, 1, 3))
             vt = jnp.transpose(v, (0, 2, 1, 3))
-            ctx = fused_attention(qu, kt, vt, pos.astype(self.dtype), seed,
-                                  scale, rate)
+            ctx = fused_attention(qu, kt, vt, pos, seed, scale, rate)
             ctx = jnp.transpose(ctx, (0, 2, 1, 3))
         else:
             content = jnp.einsum("bihd,bjhd->bhij",

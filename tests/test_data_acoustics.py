@@ -224,3 +224,32 @@ def test_remove_silence_energy_gate():
     # all-silence input survives untouched (min-keep guard)
     quiet = 1e-8 * rng.standard_normal(fs)
     assert len(remove_silence(quiet, fs)) == fs
+
+
+def test_moving_trajectory_distance_modes():
+    """v1 adaptive trajectory modes: adjacent points ~10 cm apart
+    (reference utils_simu_rir_sig.py:329-361)."""
+    from dataclasses import replace
+
+    base = replace(CFG, source_state="moving", nb_points=16)
+    for mode in ("distance_line", "distance_sin"):
+        cfg = sample_acoustic_scene(3, replace(base, traj_pt_mode=mode))
+        pts = cfg["src_traj_pts"][:, :, 0]
+        assert pts.shape[0] >= 2, mode
+        # all points stay inside the room
+        assert np.all(pts > 0) and np.all(pts < cfg["room_sz"])
+        steps = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+        if mode == "distance_sin":
+            # arc-length-spaced: every adjacent pair ~desired 10 cm
+            assert np.all(steps < 0.35) and np.median(steps) < 0.15
+        else:
+            # line-distance-spaced: count matches line length / 10 cm
+            assert steps.mean() < 0.6
+
+
+def test_moving_trajectory_time_mode_shape():
+    from dataclasses import replace
+
+    cfg = sample_acoustic_scene(4, replace(CFG, source_state="moving",
+                                           nb_points=12))
+    assert cfg["src_traj_pts"].shape == (12, 3, 1)
