@@ -51,11 +51,11 @@ def test_dropout_inside_model_training_still_learns():
     cfg = SARSSLConfig().tiny(sig_shape=(256, 8, 2, 2), patch_shape=(256, 1),
                               spec_dembed=32, spat_dembed=16)
     model = SARSSL(cfg)
-    x0 = jnp.zeros((4, 2, 256, 8, 2))
-    m0 = gen_patch_mask(jax.random.key(0), 4, cfg.npatch, cfg.effective_nmasked())
+    x0 = jnp.zeros((8, 2, 256, 8, 2))
+    m0 = gen_patch_mask(jax.random.key(0), 8, cfg.npatch, cfg.effective_nmasked())
     state = create_train_state(model, jax.random.key(1), x0, m0)
     step = make_pretrain_step(model, FeatureConfig(), donate=False)
-    wave = jnp.asarray(synth_batch(np.random.default_rng(0), 4, 2304)[0])
+    wave = jnp.asarray(synth_batch(np.random.default_rng(0), 8, 2304)[0])
     losses = []
     key = jax.random.key(3)
     for i in range(10):

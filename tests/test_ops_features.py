@@ -77,3 +77,24 @@ def test_mel_features_shape():
     feats = stft_features(sig, cfg)
     assert feats.shape == (2, 2, 30, cfg.num_frames(2304), 2)
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_fast_path_matches_fft_path():
+    """The interleaved single-matmul fast path (mel=0, ratio=1.0) must agree
+    with the generic fft path for every channel mode and mic count."""
+    rng = np.random.default_rng(1)
+    for nch in (2, 4):
+        sig = jnp.asarray(rng.standard_normal((2, 8192, nch)).astype("float32"))
+        for mode in ("M", "MM"):
+            fast = stft_features(sig, FeatureConfig(ch_mode=mode))
+            ref = stft_features(sig, FeatureConfig(ch_mode=mode,
+                                                   stft_impl="fft"))
+            assert fast.shape == ref.shape
+            np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                       atol=2e-5)
+
+
+def test_fre_used_ratio_half_general_path():
+    sig = jnp.zeros((1, 4096, 2))
+    out = stft_features(sig, FeatureConfig(fre_used_ratio=0.5))
+    assert out.shape == (1, 2, 128, 15, 2)

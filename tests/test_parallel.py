@@ -40,7 +40,7 @@ def test_mesh_shapes():
     assert m2.shape == {"data": 4, "model": 2}
 
 
-@pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2)])
+@pytest.mark.parametrize("n_data,n_model", [(4, 2)])
 def test_sharded_pretrain_step_runs(n_data, n_model):
     mesh = make_mesh(n_data=n_data, n_model=n_model)
     model, state = _setup()

@@ -81,7 +81,7 @@ def test_downstream_step_runs_and_learns():
 def test_lr_change_does_not_recompile():
     model, state = _state_and_model()
     step = make_pretrain_step(model, FEAT, donate=False)
-    wave = jnp.asarray(synth_batch(np.random.default_rng(0), 4, NSAMPLE)[0])
+    wave = jnp.asarray(synth_batch(np.random.default_rng(0), 8, NSAMPLE)[0])
     key = jax.random.key(0)
     state, _ = step(state, wave, 1e-3, key)
     n0 = step._cache_size()
@@ -152,7 +152,7 @@ def test_early_stopping_and_smoothing():
 def test_fresh_optimizer_reset():
     model, state = _state_and_model()
     step = make_pretrain_step(model, FEAT, donate=False)
-    wave = jnp.asarray(synth_batch(np.random.default_rng(0), 4, NSAMPLE)[0])
+    wave = jnp.asarray(synth_batch(np.random.default_rng(0), 8, NSAMPLE)[0])
     state, _ = step(state, wave, 1e-3, jax.random.key(0))
     mu = jax.tree.leaves(state.opt_state.inner_state)[0]
     assert float(jnp.abs(mu).max()) > 0
