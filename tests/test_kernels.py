@@ -48,14 +48,13 @@ def test_dropout_inside_model_training_still_learns():
     from sarssl_tpu.ops import gen_patch_mask
     from sarssl_tpu.data import synth_batch
 
-    cfg = SARSSLConfig().tiny(sig_shape=(256, 8, 2, 2), patch_shape=(256, 1),
-                              spec_dembed=32, spat_dembed=16)
+    from tiny import NSAMPLE, FEAT, CFG as cfg
     model = SARSSL(cfg)
-    x0 = jnp.zeros((8, 2, 256, 8, 2))
+    x0 = jnp.zeros((8, 2, 64, 8, 2))
     m0 = gen_patch_mask(jax.random.key(0), 8, cfg.npatch, cfg.effective_nmasked())
     state = create_train_state(model, jax.random.key(1), x0, m0)
-    step = make_pretrain_step(model, FeatureConfig(), donate=False)
-    wave = jnp.asarray(synth_batch(np.random.default_rng(0), 8, 2304)[0])
+    step = make_pretrain_step(model, FEAT, donate=False)
+    wave = jnp.asarray(synth_batch(np.random.default_rng(0), 8, NSAMPLE)[0])
     losses = []
     key = jax.random.key(3)
     for i in range(10):

@@ -12,21 +12,19 @@ from sarssl_tpu.train import create_train_state
 from sarssl_tpu.parallel import make_mesh, make_sharded_pretrain_step
 from sarssl_tpu.data import synth_batch
 
-NSAMPLE = 2304
-CFG = SARSSLConfig().tiny(sig_shape=(256, 8, 2, 2), patch_shape=(256, 1),
-                          spec_dembed=32, spat_dembed=16, num_heads=2)
+from tiny import NSAMPLE, FEAT, CFG
 
 
 def test_replica_mesh_step():
     mesh = make_mesh(n_replica=2, n_data=2, n_model=2)
     assert mesh.shape == {"replica": 2, "data": 2, "model": 2}
     model = SARSSL(CFG)
-    x = jnp.zeros((8, 2, 256, 8, 2))
+    x = jnp.zeros((8, 2, 64, 8, 2))
     mask = gen_patch_mask(jax.random.key(0), 8, CFG.npatch,
                           CFG.effective_nmasked())
     state = create_train_state(model, jax.random.key(0), x, mask)
     step, st_sh, b_sh = make_sharded_pretrain_step(
-        model, FeatureConfig(), mesh, state, donate=False)
+        model, FEAT, mesh, state, donate=False)
     assert b_sh.spec == P(("replica", "data"))
     state = jax.device_put(state, st_sh)
     wave = jax.device_put(

@@ -15,10 +15,7 @@ from sarssl_tpu.parallel import (
 )
 from sarssl_tpu.data import synth_batch
 
-NSAMPLE = 2304
-FEAT = FeatureConfig()
-CFG = SARSSLConfig().tiny(sig_shape=(256, 8, 2, 2), patch_shape=(256, 1),
-                          spec_dembed=32, spat_dembed=16, num_heads=2)
+from tiny import NSAMPLE, FEAT, CFG  # shared tiny step profile
 
 
 def _setup(pretrain=True):

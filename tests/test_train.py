@@ -20,10 +20,7 @@ from sarssl_tpu.train.checkpoint import restore_state, latest_path, best_path
 from sarssl_tpu.train.state import make_adam
 from sarssl_tpu.data import synth_batch
 
-NSAMPLE = 2304  # -> nt = (2304-512)/256+1 = 8 frames
-FEAT = FeatureConfig()
-CFG = SARSSLConfig().tiny(sig_shape=(256, 8, 2, 2), patch_shape=(256, 1),
-                          spec_dembed=32, spat_dembed=16)
+from tiny import NSAMPLE, FEAT, CFG  # shared tiny step profile
 
 
 def _state_and_model(pretrain=True, seed=0):
