@@ -149,3 +149,56 @@ class TCRNN(nn.Module):
         y = BiGRU(self.planes[-1] // (2 if self.bidirectional else 1),
                   self.bidirectional, self.dtype, name="rnn")(y)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="fc")(y)
+
+
+class CausCnnBlock(nn.Module):
+    """Time-causal conv block (reference CRNN.py:46-83): each 3x3 conv pads
+    time by 2 on the left only (symmetric pad then trailing truncation in the
+    reference), so frame t sees at most frames <= t."""
+
+    planes: int
+    use_res: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, dtype=self.dtype,
+                                       name=name)
+        conv = lambda name: nn.Conv(self.planes, (3, 3), use_bias=False,
+                                    padding=((1, 1), (2, 0)),
+                                    dtype=self.dtype, name=name)
+        y = nn.relu(bn("bn1")(conv("conv1")(x)))
+        y = bn("bn2")(conv("conv2")(y))
+        if self.use_res:
+            y = y + x
+        return nn.relu(y)
+
+
+class CauCRNN(nn.Module):
+    """Reference ``CauCRNN`` (CRNN.py:301-356): causal conv blocks with
+    frequency/time max-pooling, a unidirectional GRU and a tanh head scaled
+    by ``max_num_sources`` — the DP-RTF/DOA ablation encoder."""
+
+    conv_chs: int = 64
+    rnn_hid: int = 256
+    out_dim: int = 512  # 128 * 2 * ratio(2)
+    max_num_sources: int = 2
+    pools: Sequence[Tuple[int, int]] = ((4, 1), (2, 1), (2, 2), (2, 2), (2, 3))
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (nb, nf, nt, nch) NHWC TF map
+        nb = x.shape[0]
+        y = x
+        for i, pool in enumerate(self.pools):
+            y = CausCnnBlock(self.conv_chs, use_res=False, dtype=self.dtype,
+                             name=f"block{i}")(y, train)
+            y = nn.max_pool(y, window_shape=pool, strides=pool)
+        # (nb, nf', nt', ch) -> (nb, nt', ch*nf')
+        y = jnp.transpose(y, (0, 2, 1, 3)).reshape(nb, y.shape[2], -1)
+        y = BiGRU(self.rnn_hid, bidirectional=False, dtype=self.dtype,
+                  name="rnn")(y)
+        y = nn.Dense(self.out_dim, dtype=self.dtype, name="fc")(y)
+        return jnp.tanh(y) * self.max_num_sources  # (nb, nt', out_dim)

@@ -49,4 +49,29 @@ class EmbedDecoder(nn.Module):
             y = nn.relu(y)
             y = nn.Dense(dembed_out, dtype=self.dtype, name="proj1")(y)
             return y  # (nb, npatch, dpatch*nreim*nmic)
+        if self.model[1] == "cnn":
+            # CNN reconstruction head (model.py:302-318,336-343): spread the
+            # embedding over the TF canvas, run a 5-conv stack, and project
+            # patch-strided back to dembed_out per patch. Requires
+            # dembed % dpatch == 0 (x = dembed/dpatch canvas channels).
+            from ..ops.patches import patch_recover
+
+            nb, npatch, _ = embed.shape
+            nch = nreim * nmic
+            x = embed.reshape(nb, npatch, dpatch, self.dembed // dpatch)
+            tf = patch_recover(x, (nf, nt), self.patch_shape)  # (nb,nf,nt,x)
+            bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                           momentum=0.9, epsilon=1e-5,
+                                           dtype=self.dtype, name=name)
+            conv = lambda feats, k, name: nn.Conv(
+                feats, kernel_size=k, use_bias=False, dtype=self.dtype,
+                name=name)
+            y = nn.relu(bn("bn0")(conv(64, (1, 1), "conv0")(tf)))
+            y = nn.relu(bn("bn1")(conv(64, (3, 3), "conv1")(y)))
+            y = nn.relu(bn("bn2")(conv(64, (3, 3), "conv2")(y)))
+            y = nn.relu(bn("bn3")(conv(nch, (1, 1), "conv3")(y)))
+            y = nn.Conv(dembed_out, kernel_size=self.patch_shape,
+                        strides=self.patch_shape, use_bias=False,
+                        padding="VALID", dtype=self.dtype, name="proj")(y)
+            return y.reshape(nb, npatch, dembed_out)
         raise ValueError(f"Unsupported decoder head: {self.model[1]}")

@@ -74,3 +74,41 @@ def test_cross_validation_splits():
     splits = list(cross_validation_datadirs(["r1", "r2", "r3"]))
     assert len(splits) == 3
     assert splits[0]["test"] == ["r1"] and "r1" not in splits[0]["train"]
+
+
+def test_caucrnn_causal_and_shapes():
+    """CauCRNN (reference CRNN.py:301-356): output shape and causality —
+    changing a late frame must not affect earlier outputs."""
+    import numpy as np
+    from sarssl_tpu.models.crnn import CauCRNN
+
+    net = CauCRNN(conv_chs=16, rnn_hid=32, out_dim=24)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((1, 64, 24, 4)).astype(np.float32))
+    v = net.init({"params": jax.random.key(0)}, x, False)
+    y = net.apply(v, x, False)
+    assert y.shape == (1, 2, 24)  # nt 24/(2*2*3)=2 pooled frames
+    assert np.isfinite(np.asarray(y)).all()
+    assert float(jnp.abs(y).max()) <= net.max_num_sources + 1e-6
+    # causality: perturb the last raw frame; the first pooled frame (covering
+    # frames 0..11) must be unchanged
+    x2 = x.at[:, :, -1, :].add(10.0)
+    y2 = net.apply(v, x2, False)
+    np.testing.assert_allclose(np.asarray(y[:, 0]), np.asarray(y2[:, 0]),
+                               atol=1e-6)
+
+
+def test_decoder_cnn_head_shapes():
+    """EmbedDecoder dec_model=('','cnn') (reference model.py:302-343)."""
+    import numpy as np
+    from sarssl_tpu.models.decoder import EmbedDecoder
+
+    sig_shape = (32, 8, 2, 2)
+    dec = EmbedDecoder(sig_shape=sig_shape, patch_shape=(32, 1), dembed=64,
+                       model=("", "cnn"))
+    embed = jnp.asarray(np.random.default_rng(1)
+                        .standard_normal((2, 8, 64)).astype(np.float32))
+    v = dec.init({"params": jax.random.key(0)}, embed, False)
+    y = dec.apply(v, embed, False)
+    assert y.shape == (2, 8, 32 * 2 * 2)
+    assert np.isfinite(np.asarray(y)).all()
