@@ -26,8 +26,8 @@ REFERENCE_GPU_UPS = 130.0
 
 BATCH = 128
 NSAMPLE = 65792  # 4.112 s @ 16 kHz -> 256 STFT frames
-WARMUP = 3
-ITERS = 10
+WARMUP = 5
+ITERS = 20
 
 
 def main():
