@@ -247,7 +247,16 @@ def main(argv=None):
         ds = FixMicSigDataset(data_dir, data_num=args.train_num
                               if split == "train" else args.val_num,
                               transforms=[Selecting((0, nsample))])
-        return batch_iterator(ds, args.bs, shuffle=split == "train",
+        local_bs = args.bs
+        if jax.process_count() > 1:
+            # pod-scale DP: every host reads its strided shard of the corpus
+            # and contributes bs/process_count rows to the global batch
+            from ..parallel import shard_for_process
+            assert args.bs % jax.process_count() == 0, (
+                args.bs, jax.process_count())
+            local_bs = args.bs // jax.process_count()
+            ds.data_paths = shard_for_process(ds.data_paths)
+        return batch_iterator(ds, local_bs, shuffle=split == "train",
                               seed=args.seed + epoch, num_workers=args.workers)
 
     from ..data import device_prefetch
@@ -257,6 +266,9 @@ def main(argv=None):
         it = make_batches(split, epoch)
         if args.device_synth:
             return it  # already device-resident
+        if b_shard is not None and jax.process_count() > 1:
+            from ..parallel import host_batch_iterator
+            return host_batch_iterator(it, b_shard)
         return device_prefetch(it, size=2, sharding=b_shard)
 
     for epoch in range(learner.epoch, args.epochs):

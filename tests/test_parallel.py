@@ -125,3 +125,30 @@ def test_sharded_lineareval_freezes_loaded_params():
     head_b = np.asarray(before["head_proj"]["kernel"])
     head_a = np.asarray(after["head_proj"]["kernel"])
     assert np.abs(head_b - head_a).max() > 0, "head did not train"
+
+
+def test_host_data_sharding_helpers():
+    """Per-host input sharding: disjoint strided splits; global batch
+    assembly matches a plain sharded device_put on one process."""
+    from sarssl_tpu.parallel import (shard_for_process,
+                                     global_batch_from_local,
+                                     host_batch_iterator)
+
+    items = list(range(103))
+    shards = [shard_for_process(items, pi, 4) for pi in range(4)]
+    assert sorted(sum(shards, [])) == items           # exact cover
+    assert not set(shards[0]) & set(shards[1])        # disjoint
+    assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    b_sh = batch_sharding(mesh)
+    x = np.random.default_rng(0).standard_normal((8, 6, 2)).astype(np.float32)
+    g = global_batch_from_local(x, b_sh)
+    assert g.shape == (8, 6, 2)
+    assert g.sharding.is_equivalent_to(b_sh, 3)
+    np.testing.assert_array_equal(np.asarray(g), x)
+
+    batches = [{"wave": x + i} for i in range(3)]
+    out = list(host_batch_iterator(batches, b_sh))
+    assert len(out) == 3
+    np.testing.assert_array_equal(np.asarray(out[2]["wave"]), x + 2)
