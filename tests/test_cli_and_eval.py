@@ -87,3 +87,30 @@ def test_target_transforms():
     np.testing.assert_allclose(np.asarray(_target_transform("VOL", gt)),
                                np.log10([[2.0], [4.0]]), rtol=1e-6)
     np.testing.assert_allclose(_target_transform("T60", gt), gt)
+
+
+@pytest.mark.slow
+def test_e2e_gen_simu_to_downstream(tmp_path):
+    """Full pipeline: gen_simu writes a wav tree -> downstream CLI trains a
+    T60 head on it and writes results.json (the verify recipe as a test)."""
+    import json
+    from sarssl_tpu.cli.gen_simu import main as gen_main
+    from sarssl_tpu.cli.run_downstream import main as ds_main
+
+    d = str(tmp_path / "data")
+    e = str(tmp_path / "exp")
+    rc = gen_main(["--mode", "sig", "--stage", "train", "--data-num", "6",
+                   "--save-dir", d, "--workers", "0", "--T", "1.04",
+                   "--noise", "spatial_white", "--t60-range", "0.3", "0.5",
+                   "--room-x", "4", "6", "--room-y", "4", "6",
+                   "--room-z", "2.5", "3"])
+    assert rc in (0, None)
+    rc = ds_main(["--ds-train", "--cpu", "--ds-task", "T60", "--T", "1.04",
+                  "--data-dir", d, "--exp-dir", e, "--epochs", "1",
+                  "--lr-set", "0.001", "--bs-set", "2", "--ntrial", "1",
+                  "--val-num", "6", "--test-num", "6", "--workers", "0"])
+    assert rc in (0, None)
+    results = list((tmp_path / "exp").rglob("results.json"))
+    assert results, "downstream grid wrote no results.json"
+    payload = json.loads(results[0].read_text())
+    assert payload, "empty results"
