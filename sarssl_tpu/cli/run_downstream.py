@@ -248,8 +248,11 @@ def main(argv=None):
                     g = pairwise_tdoa(g.reshape(g.shape[0], -1),
                                       args.nmic, args.ch_mode)
                 if b_sh is not None:
-                    wave = jax.device_put(wave, b_sh)
-                    g = jax.device_put(g, b_sh)
+                    # multi-process: assemble host-local rows into the global
+                    # batch; single-process this is a plain sharded put
+                    from ..parallel import global_batch_from_local
+                    wave = global_batch_from_local(wave, b_sh)
+                    g = global_batch_from_local(g, b_sh)
                 yield wave, g
 
         learner = DownstreamLearner(

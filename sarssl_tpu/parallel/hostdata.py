@@ -45,9 +45,9 @@ def global_batch_from_local(local_batch, sharding) -> jax.Array:
     host must pass the same local_nb. The global batch dimension is
     ``local_nb * process_count``.
     """
-    local = np.asarray(local_batch)
     if jax.process_count() == 1:
-        return jax.device_put(local, sharding)
+        return jax.device_put(local_batch, sharding)
+    local = np.asarray(local_batch)
     global_shape = (local.shape[0] * jax.process_count(),) + local.shape[1:]
     return jax.make_array_from_process_local_data(sharding, local,
                                                   global_shape)
