@@ -207,8 +207,16 @@ def main(argv=None):
         real_mix = RandomRealDataset(sets, probs=args.real_data_probs,
                                      seed=args.seed)
 
+    # pod-scale DP: every host contributes bs/process_count DISTINCT rows
+    # (disjoint seeds or file shards); single-process: pc=1, pi=0 no-ops
+    pc, pi = jax.process_count(), jax.process_index()
+    assert args.bs % pc == 0, (args.bs, pc)
+    local_bs = args.bs // pc
+
     def make_batches(split, epoch):
         if args.device_synth:
+            assert pc == 1, ("--device-synth is single-process; use the "
+                             "file/synthetic pipelines for pod runs")
             from ..data import DeviceSynthConfig, synth_batch_device
             dcfg = DeviceSynthConfig(nsample=nsample)
             num = args.train_num if split == "train" else args.val_num
@@ -224,8 +232,8 @@ def main(argv=None):
         if real_mix is not None:
             # prob-mixed real corpora (reference run_pretrain.py:118-142);
             # built ONCE — per-epoch only the sampling keys change
-            num = args.train_num if split == "train" else args.val_num
-            base = (args.seed, 0 if split == "train" else 1, epoch)
+            num = (args.train_num if split == "train" else args.val_num) // pc
+            base = (args.seed, 0 if split == "train" else 1, epoch, pi)
 
             class _EpochView:
                 def __len__(self):
@@ -235,26 +243,23 @@ def main(argv=None):
                     # per-index generator: deterministic and thread-safe
                     return real_mix.sample(np.random.default_rng(base + (i,)))
 
-            return batch_iterator(_EpochView(), args.bs, shuffle=False,
+            return batch_iterator(_EpochView(), local_bs, shuffle=False,
                                   num_workers=args.workers)
         if args.synthetic:
             num = args.train_num if split == "train" else args.val_num
-            gen = SyntheticPairs(nsample=nsample, seed=args.seed + epoch
-                                 if split == "train" else 1)
-            return gen.batches(args.bs, num // args.bs)
+            gen = SyntheticPairs(nsample=nsample,
+                                 seed=(args.seed + epoch
+                                       if split == "train" else 1)
+                                 + pi * 7919)
+            return gen.batches(local_bs, num // args.bs)
         data_dir = args.data_dir if split == "train" else (
             args.val_data_dir or args.data_dir)
         ds = FixMicSigDataset(data_dir, data_num=args.train_num
                               if split == "train" else args.val_num,
                               transforms=[Selecting((0, nsample))])
-        local_bs = args.bs
-        if jax.process_count() > 1:
-            # pod-scale DP: every host reads its strided shard of the corpus
-            # and contributes bs/process_count rows to the global batch
+        if pc > 1:
+            # every host reads its strided shard of the corpus
             from ..parallel import shard_for_process
-            assert args.bs % jax.process_count() == 0, (
-                args.bs, jax.process_count())
-            local_bs = args.bs // jax.process_count()
             ds.data_paths = shard_for_process(ds.data_paths)
         return batch_iterator(ds, local_bs, shuffle=split == "train",
                               seed=args.seed + epoch, num_workers=args.workers)

@@ -29,6 +29,14 @@ Corpora (citations are reference utils_real_micsig.py):
              TextGrid overlap removal (:1229-1407);
   CHiME3     6-mic tablet array, ``*.CH<k>.wav`` channel-per-file under
              isolated/{tr05,dt05,et05}_* (:1410-1499).
+
+Layering note: ``data/real.py`` is the generic, config-driven counterpart
+(CorpusSpec + RealMicSigDataset + the RandomRealDataset prob-mixer). These
+bespoke readers are what the pretrain CLI's ``--real-corpora`` uses; real.py
+remains for ad-hoc trees (``--real-data-dirs``) and as the mixing wrapper.
+The pair-distance filter (select_pairs / real.select_mic_pairs) implements
+the same reference rule (utils_real_micsig.py:35-53) with different return
+shapes for their respective callers.
 """
 from __future__ import annotations
 
@@ -228,8 +236,10 @@ class CorpusReader:
     def __getitem__(self, idx=None) -> np.ndarray:
         if idx is None:
             return self.sample()
+        import zlib
+        # stable across processes/runs (str hash() is salted per process)
         return self.sample(np.random.default_rng(
-            (hash(self.name) ^ (idx + 1)) % (2 ** 31)))
+            (zlib.crc32(self.name.encode()) ^ (idx + 1)) % (2 ** 31)))
 
     def _read_crop(self, item: Item, rng) -> np.ndarray:
         nsample_desired = int(self.T * item.fs)
@@ -265,13 +275,8 @@ class CorpusReader:
 
     @staticmethod
     def _pad_cut(sig: np.ndarray, n: int, rng) -> np.ndarray:
-        """Repeat-pad then random-cut (reference pad_cut_sig_sameutt)."""
-        while sig.shape[0] < n:
-            sig = np.concatenate([sig, sig], axis=0)
-        if sig.shape[0] > n:
-            st = int(rng.integers(0, sig.shape[0] - n + 1))
-            sig = sig[st:st + n]
-        return sig
+        from .noise import pad_cut_same
+        return pad_cut_same(sig, n, rng)
 
 
 def _glob_audio(root: Path, pattern: str) -> List[Path]:
@@ -367,13 +372,16 @@ class LOCATAReader(CorpusReader):
                         if probe is None:
                             continue
                         dur, fs, frames = probe
-                        self._cur_array = array
                         yield from self._emit_pairs(
                             lambda pair, wav=wav: [wav],
                             self._array_pairs[array], dur, fs, frames)
 
     def _npairs_of(self, item):
-        return max(len(p) for p in self._array_pairs.values())
+        # weight by the pair count of the item's OWN array (reference
+        # utils_real_micsig.py:602-607 divides per array)
+        array = Path(item.paths[0]).parent.name
+        pairs = self._array_pairs.get(array)
+        return len(pairs) if pairs else 1
 
 
 class MCWSJReader(CorpusReader):

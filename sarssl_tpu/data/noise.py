@@ -128,11 +128,15 @@ def xsrc_noise(rng: np.random.Generator, nsample: int, mic_pos: np.ndarray,
     utils_noise.py:93-112)."""
     M = mic_pos.shape[0]
     rec = np.asarray(recording, float).reshape(-1)
-    need = int(nsample / fs * rec_fs) * M
+    need = -(-nsample * rec_fs // fs) * M
     rec = pad_cut_same(rec, need, rng)
     if rec_fs != fs:
         rec = scipy.signal.resample_poly(rec, fs, rec_fs)
     rec = rec - rec.mean()
+    # resample_poly rounding can land a few samples short of nsample*M
+    total = nsample * M
+    if rec.shape[0] < total:
+        rec = np.pad(rec, (0, total - rec.shape[0]), mode="wrap")
     L = nsample
     chans = np.stack([rec[m * L:(m + 1) * L] for m in range(M)], axis=1)
     out = _diffuse_mix(chans, mic_pos, fs, c)
@@ -151,10 +155,12 @@ def real_world_noise(rng: np.random.Generator, nsample: int, nmic: int,
     if rec.shape[1] != nmic:
         raise ValueError(f"real-world noise has {rec.shape[1]} channels, "
                          f"array has {nmic}")
-    need = int(nsample / fs * rec_fs)
+    need = -(-nsample * rec_fs // fs)
     rec = pad_cut_same(rec, need, rng)
     if rec_fs != fs:
         rec = scipy.signal.resample_poly(rec, fs, rec_fs, axis=0)
+    if rec.shape[0] < nsample:  # resample_poly rounding shortfall
+        rec = np.pad(rec, ((0, nsample - rec.shape[0]), (0, 0)), mode="wrap")
     rec = rec[:nsample]
     return rec / (np.max(np.abs(rec)) + eps)
 

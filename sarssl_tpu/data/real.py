@@ -93,6 +93,7 @@ class RealMicSigDataset:
         self.spec = spec
         self.T = T
         self.fs = fs
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
 
         if spec.geometry is not None:
@@ -128,7 +129,7 @@ class RealMicSigDataset:
             except Exception:
                 continue
             dur, file_fs = info.duration, info.fs
-            if dur < T * (1.0 if spec.fs in (None, fs) else 1.0):
+            if dur < T:  # seconds; resampling preserves duration
                 continue
             nch = (len(self._group_list[gi]) if self._group_list
                    else info.channels)
@@ -152,8 +153,9 @@ class RealMicSigDataset:
         return self.dataset_sz
 
     def __getitem__(self, idx=None) -> np.ndarray:
+        # seeded per index, stable across processes (no id()/salted hash)
         rng = self._rng if idx is None else np.random.default_rng(
-            hash((id(self), idx)) % (2 ** 31))
+            (self.seed * 2654435761 + idx + 1) % (2 ** 31))
         return self.sample(rng)
 
     def sample(self, rng: np.random.Generator) -> np.ndarray:

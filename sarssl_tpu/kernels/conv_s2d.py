@@ -126,10 +126,12 @@ def _conv_s2d(x: jax.Array, w2: jax.Array, tile_h: int = 32,
     return out.reshape(B, H, W, C)  # free view
 
 
-def supports_s2d(x_shape) -> bool:
-    """Shape gate for the free-view fast path."""
+def supports_s2d(x_shape, tile_h: int = 32) -> bool:
+    """Shape gate for the free-view fast path (matches _conv_s2d's
+    asserts: aligned s2d width AND an exact H tiling)."""
     B, H, W, C = x_shape
-    return W % 2 == 0 and (W // 2) % 8 == 0 and H % 8 == 0
+    th = min(tile_h, H)
+    return W % 2 == 0 and (W // 2) % 8 == 0 and H % th == 0
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

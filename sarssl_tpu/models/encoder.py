@@ -20,41 +20,6 @@ from .transformer import TransformerEncoder
 from .crnn import CRNN, CRNNSim, TCRNN
 
 
-import functools
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _convf32(lhs, rhs, args, kwitems):
-    out = jax.lax.conv_general_dilated(lhs, rhs, *args, **dict(kwitems),
-                                       preferred_element_type=jnp.float32)
-    return out.astype(lhs.dtype)
-
-
-def _convf32_fwd(lhs, rhs, args, kwitems):
-    return _convf32(lhs, rhs, args, kwitems), (lhs, rhs)
-
-
-def _convf32_bwd(args, kwitems, res, g):
-    # jax's conv transpose refuses mixed (f32 cotangent, bf16 operand)
-    # dtypes, so backprop runs at the operand dtype — the same precision
-    # every other bf16 gradient in the model has.
-    lhs, rhs = res
-    _, vjp = jax.vjp(
-        lambda l, r: jax.lax.conv_general_dilated(l, r, *args,
-                                                  **dict(kwitems)), lhs, rhs)
-    return vjp(g.astype(lhs.dtype))
-
-
-_convf32.defvjp(_convf32_fwd, _convf32_bwd)
-
-
-def _conv_f32acc(lhs, rhs, *args, **kw):
-    """conv_general_dilated with explicit f32 MXU accumulation and a fused
-    downcast — measurably faster lowering than the default for the
-    front-end's 64-channel 3x3 convs on v5e."""
-    return _convf32(lhs, rhs, tuple(args), tuple(sorted(kw.items())))
-
-
 class CNNFrontEnd(nn.Module):
     """5-layer CNN: 1x1 -> 3x3 -> 3x3 -> 1x1 (BN+ReLU each) -> patch-strided conv.
 
