@@ -31,11 +31,15 @@ def shard_for_process(items: Sequence, process_index: Optional[int] = None,
     """Strided slice of ``items`` owned by this host process.
 
     Strided (not contiguous) so corpus-order locality (per-room, per-speaker
-    trees) spreads evenly across hosts.
+    trees) spreads evenly across hosts. Every host gets EXACTLY
+    ``len(items) // process_count`` items — the remainder is dropped — so
+    per-host batch counts always agree and no host enters a collective step
+    the others will never reach.
     """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
-    return list(items[pi::pc])
+    n_common = len(items) // pc
+    return list(items[pi::pc][:n_common])
 
 
 def global_batch_from_local(local_batch, sharding) -> jax.Array:

@@ -118,20 +118,9 @@ def param_shardings(mesh: Mesh, params):
 
 def shard_train_state(state, mesh: Mesh):
     """Place a TrainState on the mesh: TP-sharded params, everything else
-    replicated except optimizer moments, which follow their parameters."""
-    p_sh = param_shardings(mesh, state.params)
-    rep = NamedSharding(mesh, P())
+    replicated except optimizer moments, which follow their parameters.
+    The single source of the placement rule is ``steps.state_shardings``."""
+    from .steps import state_shardings
 
-    params = jax.device_put(state.params, p_sh)
-    batch_stats = jax.device_put(state.batch_stats, rep)
-
-    def opt_leaf_sharding(path, leaf):
-        # Adam mu/nu live under .../mu/<param path>, same shapes as params.
-        return NamedSharding(mesh, param_pspec(path, leaf)
-                             if np.ndim(leaf) >= 1 else P())
-
-    opt_state = jax.device_put(
-        state.opt_state, _tree_paths_map(opt_leaf_sharding, state.opt_state))
-    step = jax.device_put(state.step, rep)
-    return state.replace(params=params, batch_stats=batch_stats,
-                         opt_state=opt_state, step=step), p_sh
+    st_sh = state_shardings(mesh, state)
+    return jax.device_put(state, st_sh), st_sh.params

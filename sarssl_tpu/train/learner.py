@@ -43,8 +43,9 @@ class EarlyStopping:
     stopped: bool = False
 
     def update(self, score: float) -> bool:
-        """Returns True if this score is a new best."""
-        if score > self.best:
+        """Returns True if this score is a new best (ties count as best,
+        reference learner.py:287)."""
+        if score >= self.best:
             self.best = score
             self.counter = 0
             return True
@@ -81,15 +82,19 @@ class PretrainLearner:
         if self.fresh_opt_each_epoch:
             self.state = self.state.reset_optimizer()
         lr = self.lr_schedule(self.epoch)
-        tot, tot_diff, n, t0 = 0.0, 0.0, 0, time.time()
+        losses, diffs, n, t0 = [], [], 0, time.time()
         nutt = 0
         for wave in batches:
             rng, sub = jax.random.split(rng)
             self.state, m = self.train_step(self.state, wave, lr, sub)
-            tot += float(m["loss"])
-            tot_diff += float(m["diff"])
+            # keep metrics on device: a float() here would sync every step
+            # and stall the async dispatch pipeline
+            losses.append(m["loss"])
+            diffs.append(m["diff"])
             n += 1
             nutt += wave.shape[0]
+        tot = float(np.sum([float(x) for x in losses]))
+        tot_diff = float(np.sum([float(x) for x in diffs]))
         dt = time.time() - t0
         metrics = {"loss": tot / max(n, 1), "diff": tot_diff / max(n, 1),
                    "lr": lr, "utt_per_sec": nutt / max(dt, 1e-9)}
@@ -151,11 +156,13 @@ class DownstreamLearner:
         self.best_epochs: List[int] = []
 
     def train_epoch(self, batches, rng) -> Dict[str, float]:
-        tot, tot_mae, n = 0.0, 0.0, 0
+        losses, maes, n = [], [], 0
         for wave, gt in batches:
             rng, sub = jax.random.split(rng)
             self.state, m = self.train_step(self.state, wave, gt, self.lr, sub)
-            tot += float(m["loss"]); tot_mae += float(m["mae"]); n += 1
+            losses.append(m["loss"]); maes.append(m["mae"]); n += 1
+        tot = float(np.sum([float(x) for x in losses]))
+        tot_mae = float(np.sum([float(x) for x in maes]))
         metrics = {"loss": tot / max(n, 1), "mae": tot_mae / max(n, 1), "lr": self.lr}
         if self.logger:
             self.logger.log("train", self.epoch, metrics)
@@ -206,9 +213,16 @@ class DownstreamLearner:
         ensembled params and installs the averaged batch_stats on
         ``self.state``."""
         assert self.ckpt_dir, "ensembling needs a checkpoint dir"
+        import os
+
         from flax import serialization
 
-        epochs = self.best_epochs[-k:]
+        # CONSECUTIVE epochs ending at the best one (reference
+        # run_downstream.py:321-324: [max(1, best-k+1) .. best]), not the
+        # sparse set of improving epochs
+        best = self.best_epochs[-1] if self.best_epochs else self.epoch - 1
+        epochs = [e for e in range(max(0, best - k + 1), best + 1)
+                  if os.path.exists(ckpt.epoch_path(self.ckpt_dir, e))]
         plist, blist = [], []
         for e in epochs:
             payload = ckpt.load_checkpoint(ckpt.epoch_path(self.ckpt_dir, e))

@@ -46,7 +46,8 @@ def pretext_metrics(aux: Dict, sig_shape, patch_shape,
                     fs: int = 16000, compute_pesq: bool = False) -> Dict:
     """Metrics from a pretext forward's aux dict {pred, tar, mask}.
 
-    Returns {'mse', 'mse_mask', 'mse_mask_ch', 'pesq' (nb, nch) or NaN}.
+    Returns {'mse', 'mse_mask', 'mse_mask_ch', 'pesq' (nb, nch) or NaN,
+    'pesq_mask_ch' (nb,), 'sig_pred', 'sig_tar'}.
     """
     nf, nt = sig_shape[0], sig_shape[1]
     f_first = patch_shape[1] != 1
@@ -68,11 +69,16 @@ def pretext_metrics(aux: Dict, sig_shape, patch_shape,
         (nf, nt), patch_shape, f_first)          # (nb, nf, nt, nmic)
 
     diff = (pred - tar) ** 2                      # (nb, nf, nt, 2, nmic)
-    md = mask_dense[:, :, :, None, :]
+    # tile to the full (nb,nf,nt,nreim,nch) grid like the reference
+    # (learner.py:594) so the denominator counts re AND im cells
+    md = jnp.broadcast_to(mask_dense[:, :, :, None, :], diff.shape)
+    diff_mask = diff * (1 - md)
     mse = jnp.mean(diff)
-    mse_mask = jnp.sum(diff * (1 - md)) / jnp.maximum(jnp.sum(1 - md), 1)
+    mse_mask = jnp.sum(diff_mask) / jnp.maximum(jnp.sum(1 - md), 1)
+    mse_mask_ch = jnp.mean(jnp.sum(diff_mask, axis=-1))  # learner.py:599-600
 
-    out = {"mse": float(mse), "mse_mask": float(mse_mask)}
+    out = {"mse": float(mse), "mse_mask": float(mse_mask),
+           "mse_mask_ch": float(mse_mask_ch)}
 
     sig_pred = np.asarray(reconstruct_waveforms(pred))
     sig_tar = np.asarray(reconstruct_waveforms(tar))
@@ -90,4 +96,9 @@ def pretext_metrics(aux: Dict, sig_shape, patch_shape,
         out["pesq"] = vals
     else:
         out["pesq"] = np.full((nb, nmic), np.nan)
+    # PESQ of each item's masked channel (learner.py:609-616: the channel
+    # with FEWER kept cells is the masked one)
+    kept = np.asarray(jnp.sum(mask_dense, axis=(1, 2)))  # (nb, nmic)
+    mask_ch = np.argmin(kept, axis=1)
+    out["pesq_mask_ch"] = out["pesq"][np.arange(nb), mask_ch]
     return out

@@ -53,6 +53,12 @@ def pretrain_step_body(model, feat_cfg: FeatureConfig, mask_mode: str = "T",
                 lambda g, m: g * jnp.asarray(m, g.dtype), grads, trainable_mask)
         new_state = state.apply_gradients(grads, lr=lr).replace(
             batch_stats=mut["batch_stats"])
+        if trainable_mask is not None:
+            # restore frozen leaves outright: zeroed grads alone would still
+            # let decoupled weight decay (adamw) move them
+            new_state = new_state.replace(params=jax.tree.map(
+                lambda n, o, m: n if m else o,
+                new_state.params, state.params, trainable_mask))
         return new_state, {"loss": loss, "diff": diff}
 
     return step
@@ -120,6 +126,11 @@ def downstream_step_body(model, feat_cfg: FeatureConfig, task: str = "TDOA",
                 lambda g, m: g * jnp.asarray(m, g.dtype), grads, trainable_mask)
         new_state = state.apply_gradients(grads, lr=lr).replace(
             batch_stats=mut["batch_stats"])
+        if trainable_mask is not None:
+            # restore frozen leaves outright (see pretrain step note)
+            new_state = new_state.replace(params=jax.tree.map(
+                lambda n, o, m: n if m else o,
+                new_state.params, state.params, trainable_mask))
         mae = jnp.mean(jnp.abs(pred - tar))
         return new_state, {"loss": loss, "mae": mae}
 

@@ -136,9 +136,11 @@ def test_host_data_sharding_helpers():
 
     items = list(range(103))
     shards = [shard_for_process(items, pi, 4) for pi in range(4)]
-    assert sorted(sum(shards, [])) == items           # exact cover
+    # equal-length shards (103 // 4 each; remainder dropped so per-host
+    # batch counts agree and collective steps cannot deadlock)
+    assert all(len(s) == 103 // 4 for s in shards)
     assert not set(shards[0]) & set(shards[1])        # disjoint
-    assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+    assert len(set(sum(shards, []))) == 4 * (103 // 4)
 
     mesh = make_mesh(n_data=8, n_model=1)
     b_sh = batch_sharding(mesh)

@@ -187,3 +187,42 @@ def test_learner_ensemble_averages_batch_stats(tmp_path):
                         *stats)
     for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-6)
+
+
+def test_frozen_params_immune_to_weight_decay():
+    """trainable_mask must hold frozen params exactly still even under
+    adamw's decoupled weight decay (which ignores zeroed gradients)."""
+    from flax.traverse_util import flatten_dict
+    from flax import serialization
+    from sarssl_tpu.models import SARSSL, SARSSLConfig
+    from sarssl_tpu.train import make_downstream_step
+    from sarssl_tpu.train.state import create_train_state, make_adam
+    from sarssl_tpu.train.checkpoint import trainable_mask_from_loaded
+    from sarssl_tpu.data import synth_batch
+
+    cfg = SARSSLConfig(**{**CFG.__dict__, "pretrain": False})
+    model = SARSSL(cfg)
+    nf, nt, nreim, nmic = cfg.sig_shape
+    x = jnp.zeros((2, nmic, nf, nt, nreim))
+    state = create_train_state(model, jax.random.key(0), x, None,
+                               tx=make_adam(1e-2, weight_decay=0.1))
+
+    sd = flatten_dict(serialization.to_state_dict(jax.device_get(state.params)))
+    frozen_keys = ["/".join(map(str, k)) for k in sd
+                   if k[0] in ("spec_encoder", "spat_encoder")]
+    tmask = trainable_mask_from_loaded(state.params, frozen_keys)
+    step = make_downstream_step(model, FEAT, task="TDOA", donate=False,
+                                trainable_mask=tmask)
+    wave, tdoa = synth_batch(np.random.default_rng(0), 8, NSAMPLE)
+    state2, m = step(state, jnp.asarray(wave),
+                     jnp.asarray(tdoa / 16000.0), 1e-2, jax.random.key(1))
+    before = flatten_dict(serialization.to_state_dict(
+        jax.device_get(state.params)))
+    after = flatten_dict(serialization.to_state_dict(
+        jax.device_get(state2.params)))
+    for k in before:
+        if k[0] in ("spec_encoder", "spat_encoder"):
+            np.testing.assert_array_equal(before[k], after[k],
+                                          err_msg=f"frozen moved: {k}")
+    assert np.abs(np.asarray(before[("head_proj", "kernel")])
+                  - np.asarray(after[("head_proj", "kernel")])).max() > 0
