@@ -172,11 +172,18 @@ def main(argv=None):
         return st, keys
 
     def make_batches(split, bs, seed):
+        # pod-scale DP: every host contributes bs/process_count DISTINCT
+        # rows (disjoint seeds or file shards); single-process no-ops
+        pc, pi = jax.process_count(), jax.process_index()
+        if pc > 1:
+            assert bs % pc == 0, (bs, pc)
+            bs = bs // pc
+            seed = seed + pi * 7919
         if args.rir_dir:
             from ..data import (NpyRIRDataset, MicSigFromRIRDataset,
                                 SpeakerTreeDataset)
             num = {"train": train_num, "val": args.val_num,
-                   "test": args.test_num}[split]
+                   "test": args.test_num}[split] // pc
             rirs = NpyRIRDataset(args.rir_dir, fs=fs)
             srcs = SpeakerTreeDataset(args.src_dir, T=T, fs=fs)
             ds = MicSigFromRIRDataset(rirs, srcs, T=T, fs=fs,
@@ -185,7 +192,7 @@ def main(argv=None):
                                   seed=seed, num_workers=args.workers)
         if args.synthetic:
             num = {"train": train_num, "val": args.val_num,
-                   "test": args.test_num}[split]
+                   "test": args.test_num}[split] // pc
             if multipair:
                 from ..data.synthetic import synth_batch_multich
 
@@ -203,6 +210,9 @@ def main(argv=None):
                     "test": args.test_data_dir or args.data_dir}[split]
         ds = FixMicSigDataset(data_dir, load_anno=True,
                               transforms=[Selecting((0, nsample))])
+        if pc > 1:  # strided per-host corpus shard
+            from ..parallel import shard_for_process
+            ds.data_paths = shard_for_process(ds.data_paths)
         return batch_iterator(ds, bs, shuffle=split == "train", seed=seed,
                               num_workers=args.workers)
 
@@ -263,9 +273,11 @@ def main(argv=None):
                                 use_tensorboard=False))
 
         for epoch in range(args.epochs):
-            tkey = jax.random.fold_in(root_key, 7000 + epoch)
+            tkey = jax.random.fold_in(root_key,
+                                      7000 + epoch + trial * 100_000)
             tm = learner.train_epoch(
-                batch_adapter(make_batches("train", bs, args.seed + trial)), tkey)
+                batch_adapter(make_batches(
+                    "train", bs, args.seed + trial * 1000 + epoch)), tkey)
             vm = learner.eval_epoch(
                 batch_adapter(make_batches("val", bs, 1)), split="val")
             stop = learner.end_epoch(vm["mae"])
@@ -332,10 +344,20 @@ def _ds_test(args, model, feat_cfg, init_state, make_batches, bs):
     from ..train.learner import mae_without_training
     from ..train.steps import _target_transform
 
+    from ..ops.pairs import pairwise_tdoa, num_pairs
+
+    multipair = args.nmic > 2
+    dlabel = (num_pairs(args.nmic, args.ch_mode)
+              if (multipair and args.ds_task == "TDOA") else 1)
+
     def batch_adapter(it):
         for wave, gt in it:
             g = gt[args.ds_task] if isinstance(gt, dict) else gt
-            yield jnp.asarray(wave), jnp.asarray(np.asarray(g, np.float32))
+            g = jnp.asarray(np.asarray(g, np.float32))
+            if multipair and args.ds_task == "TDOA":
+                g = pairwise_tdoa(g.reshape(g.shape[0], -1),
+                                  args.nmic, args.ch_mode)
+            yield jnp.asarray(wave), g
 
     if args.ds_test_mode == "cal_metric_wo_info":
         tr = np.concatenate([np.asarray(_target_transform(args.ds_task, g))
@@ -359,7 +381,8 @@ def _ds_test(args, model, feat_cfg, init_state, make_batches, bs):
         state = restore_state(state, load_checkpoint(path), restore_opt=False)
         print(f"loaded {path}")
 
-    eval_step = make_downstream_eval_step(model, feat_cfg, task=args.ds_task)
+    eval_step = make_downstream_eval_step(model, feat_cfg, task=args.ds_task,
+                                          dlabel=dlabel)
 
     if args.ds_test_mode == "vis_embed":
         from ..utils.vis import plot_tsne_embeddings

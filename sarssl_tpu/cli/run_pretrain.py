@@ -162,7 +162,7 @@ def main(argv=None):
         d, m = map(int, args.mesh.split("x"))
         mesh = make_mesh(n_data=d, n_model=m)
         train_step, st_sh, b_sh = make_sharded_pretrain_step(
-            model, feat_cfg, mesh, state)
+            model, feat_cfg, mesh, state, trainable_mask=trainable_mask)
         state = jax.device_put(state, st_sh)
     else:
         train_step = make_pretrain_step(model, feat_cfg,
@@ -220,8 +220,10 @@ def main(argv=None):
             from ..data import DeviceSynthConfig, synth_batch_device
             dcfg = DeviceSynthConfig(nsample=nsample)
             num = args.train_num if split == "train" else args.val_num
+            # val uses a FIXED sample set across epochs (the reference's
+            # preval split is fixed): comparable early-stopping scores
             base = jax.random.fold_in(
-                root_key, epoch if split == "train" else 1_000_000 + epoch)
+                root_key, epoch if split == "train" else 1_000_000)
 
             def gen():
                 for i in range(max(1, num // args.bs)):
@@ -233,7 +235,8 @@ def main(argv=None):
             # prob-mixed real corpora (reference run_pretrain.py:118-142);
             # built ONCE — per-epoch only the sampling keys change
             num = (args.train_num if split == "train" else args.val_num) // pc
-            base = (args.seed, 0 if split == "train" else 1, epoch, pi)
+            base = (args.seed, 0, epoch, pi) if split == "train" \
+                else (args.seed, 1, pi)  # fixed val set across epochs
 
             class _EpochView:
                 def __len__(self):
@@ -251,7 +254,7 @@ def main(argv=None):
                                  seed=(args.seed + epoch
                                        if split == "train" else 1)
                                  + pi * 7919)
-            return gen.batches(local_bs, num // args.bs)
+            return gen.batches(local_bs, max(1, num // args.bs))
         data_dir = args.data_dir if split == "train" else (
             args.val_data_dir or args.data_dir)
         ds = FixMicSigDataset(data_dir, data_num=args.train_num
@@ -285,10 +288,18 @@ def main(argv=None):
             for d in args.extra_val_dirs:
                 ds = FixMicSigDataset(d, data_num=args.val_num,
                                       transforms=[Selecting((0, nsample))])
+                if pc > 1:
+                    from ..parallel import shard_for_process
+                    ds.data_paths = shard_for_process(ds.data_paths)
+                it = batch_iterator(ds, local_bs, shuffle=False,
+                                    num_workers=args.workers)
+                if b_shard is not None:
+                    # route through the same sharded-batch assembly as the
+                    # main loop (mesh/pod safety)
+                    from ..parallel import host_batch_iterator
+                    it = host_batch_iterator(it, b_shard)
                 em = learner.eval_epoch(
-                    batch_iterator(ds, args.bs, shuffle=False,
-                                   num_workers=args.workers),
-                    jax.random.fold_in(root_key, 20_000 + epoch),
+                    it, jax.random.fold_in(root_key, 20_000 + epoch),
                     split=f"val_{os.path.basename(d.rstrip('/'))}")
                 print(f"  extra val [{os.path.basename(d.rstrip('/'))}]: "
                       f"loss {em['loss']:.5f}")

@@ -58,8 +58,12 @@ class EmbedDecoder(nn.Module):
 
             nb, npatch, _ = embed.shape
             nch = nreim * nmic
+            f_first = self.patch_shape[1] != 1
             x = embed.reshape(nb, npatch, dpatch, self.dembed // dpatch)
-            tf = patch_recover(x, (nf, nt), self.patch_shape)  # (nb,nf,nt,x)
+            tf = patch_recover(x, (nf, nt), self.patch_shape,
+                               f_first=f_first)              # (nb,nf,nt,x)
+            if f_first:  # mirror the encoder's transposed-canvas convention
+                tf = jnp.swapaxes(tf, 1, 2)
             bn = lambda name: nn.BatchNorm(use_running_average=not train,
                                            momentum=0.9, epsilon=1e-5,
                                            dtype=self.dtype, name=name)
@@ -70,8 +74,10 @@ class EmbedDecoder(nn.Module):
             y = nn.relu(bn("bn1")(conv(64, (3, 3), "conv1")(y)))
             y = nn.relu(bn("bn2")(conv(64, (3, 3), "conv2")(y)))
             y = nn.relu(bn("bn3")(conv(nch, (1, 1), "conv3")(y)))
-            y = nn.Conv(dembed_out, kernel_size=self.patch_shape,
-                        strides=self.patch_shape, use_bias=False,
-                        padding="VALID", dtype=self.dtype, name="proj")(y)
+            pshape = (self.patch_shape[1], self.patch_shape[0]) if f_first \
+                else self.patch_shape
+            y = nn.Conv(dembed_out, kernel_size=pshape, strides=pshape,
+                        use_bias=False, padding="VALID", dtype=self.dtype,
+                        name="proj")(y)
             return y.reshape(nb, npatch, dembed_out)
         raise ValueError(f"Unsupported decoder head: {self.model[1]}")

@@ -64,6 +64,7 @@ class EmbedEncoder(nn.Module):
     dembed: int
     model: Sequence[str] = ("cnn", "conformer")
     mode: str = "spat"
+    num_layers: int = 0  # 0 -> reference default by mode (spec 1 / spat 3)
     dropout: float = 0.1
     use_cls: bool = False  # append a learnable CLS token before the global
     # stage (reference model.py:84-90,216-219); output has npatch+1 tokens
@@ -79,7 +80,7 @@ class EmbedEncoder(nn.Module):
         pf, pt = self.patch_shape
         dpatch = pf * pt
         nb, npatch, _ = embed.shape
-        mhsa_nlayer = 1 if self.mode == "spec" else 3
+        mhsa_nlayer = self.num_layers or (1 if self.mode == "spec" else 3)
 
         local, global_ = (self.model[0], self.model[1] if len(self.model) > 1 else "")
 
@@ -87,7 +88,8 @@ class EmbedEncoder(nn.Module):
             # single-model CRNN variants (reference model.py:96-148): patch
             # recover to the TF map, frame-wise outputs are the embeddings.
             v = embed.reshape(nb, npatch, dpatch, nch)
-            tf = patch_recover(v, (nf, nt), self.patch_shape)  # (nb,nf,nt,nch)
+            tf = patch_recover(v, (nf, nt), self.patch_shape,
+                               f_first=pt != 1)  # (nb, nf, nt, nch)
             if local == "crnn":
                 if self.mode == "spec":
                     net = CRNN(nf=nf, planes=(32, 32, 64), f_stride=(1, 4, 4),

@@ -111,7 +111,8 @@ class SARSSL(nn.Module):
         enc = lambda dembed, mode, layers: EmbedEncoder(
             sig_shape=enc_sig_shape, patch_shape=c.patch_shape,
             dembed=dembed // enc_dembed_div,
-            model=(local, c.global_model), mode=mode, dropout=c.dropout,
+            model=(local, c.global_model), mode=mode, num_layers=layers,
+            dropout=c.dropout,
             use_cls=c.use_cls, remat_local=c.remat_cnn,
             fused_attention=c.fused_attention, dtype=dtype,
         )
