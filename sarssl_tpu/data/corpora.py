@@ -99,11 +99,14 @@ LOCATA_ARRAYS: Dict[str, np.ndarray] = {
         (-0.025, -0.003, 0.051), (-0.036, -0.027, 0.038),
         (-0.035, -0.043, 0.025), (0.029, -0.048, -0.012),
         (0.034, -0.030, 0.037), (0.035, 0.025, 0.039)]),
+    # em32 capsule table; the reference duplicates capsule 6's position at
+    # index 7 (utils_LOCATA.py:309,311) — fixed to the symmetric -z capsule
+    # so pair distances/TDOA stay physical
     "eigenmike": np.array([
         (0.000, 0.039, 0.015), (-0.022, 0.036, 0.000),
         (0.000, 0.039, -0.015), (0.022, 0.036, 0.000),
         (0.000, 0.022, 0.036), (-0.024, 0.024, 0.024),
-        (-0.039, 0.015, 0.000), (-0.024, 0.024, 0.024),
+        (-0.039, 0.015, 0.000), (-0.024, 0.024, -0.024),
         (0.000, 0.022, -0.036), (0.024, 0.024, -0.024),
         (0.039, 0.015, 0.000), (0.024, 0.024, 0.024),
         (-0.015, 0.000, 0.039), (-0.036, 0.000, 0.022),

@@ -47,8 +47,10 @@ class Segmenting:
     def __call__(self, sig: np.ndarray) -> np.ndarray:
         shift = self.seg_shift or self.seg_len
         nseg = (sig.shape[0] - self.seg_len) // shift + 1
+        if nseg <= 0:  # shorter than one segment: empty result, not a crash
+            return np.zeros((0, self.seg_len) + sig.shape[1:], sig.dtype)
         return np.stack([sig[i * shift: i * shift + self.seg_len]
-                         for i in range(max(nseg, 0))])
+                         for i in range(nseg)])
 
 
 class FixMicSigDataset:
@@ -130,8 +132,7 @@ class OnTheFlyMicSigDataset:
 
 def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
                    seed: int = 0, drop_last: bool = True,
-                   num_workers: int = 0, with_labels: Optional[bool] = None
-                   ) -> Iterator:
+                   num_workers: int = 0) -> Iterator:
     """Yield (wave (nb, nsample, nch)[, labels dict of (nb,)]) host batches.
 
     Replaces torch DataLoader (reference run_pretrain.py:191-199) with a

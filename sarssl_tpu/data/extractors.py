@@ -784,7 +784,7 @@ class ACEExtractor(CorpusExtractor):
             (0.000, 0.039, 0.015), (-0.022, 0.036, 0.000),
             (0.000, 0.039, -0.015), (0.022, 0.036, 0.000),
             (0.000, 0.022, 0.036), (-0.024, 0.024, 0.024),
-            (-0.039, 0.015, 0.000), (-0.024, 0.024, 0.024),
+            (-0.039, 0.015, 0.000), (-0.024, 0.024, -0.024),
             (0.000, 0.022, -0.036), (0.024, 0.024, -0.024),
             (0.039, 0.015, 0.000), (0.024, 0.024, 0.024),
             (-0.015, 0.000, 0.039), (-0.036, 0.000, 0.022),

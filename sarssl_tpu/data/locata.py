@@ -83,8 +83,11 @@ class LOCATADataset:
         return self.dataset_sz
 
     def __getitem__(self, idx=None):
+        import zlib
+        # stable across processes/runs (str hash() is salted per process)
         rng = (self._rng if idx is None
-               else np.random.default_rng(hash((self.stage, idx)) % (2 ** 31)))
+               else np.random.default_rng(
+                   (zlib.crc32(self.stage.encode()) ^ (idx + 1)) % (2 ** 31)))
         wav_path, adir, array, mic_idxes, mic_pos, task = \
             self.items[int(rng.integers(len(self.items)))]
 

@@ -181,6 +181,13 @@ class RealMicSigDataset:
             if len(idxes) < 2:
                 idxes = [0, min(1, nch - 1)]
         else:
+            if nch < 2:
+                raise ValueError(
+                    f"corpus {self.spec.name}: item has a single channel — "
+                    "a mono file cannot form a mic pair. If the corpus "
+                    "stores one file per channel, set "
+                    "CorpusSpec(channel_per_file=True) or use the bespoke "
+                    "data/corpora.py reader.")
             a = int(rng.integers(0, max(nch - 1, 1)))
             idxes = [a, min(a + 1, nch - 1)]
         sig = data[:, idxes]
@@ -205,14 +212,21 @@ class RandomRealDataset:
                        else [1.0] * len(datasets), np.float64)
         self.probs = p / p.sum()
         self.dataset_sz = dataset_sz
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
         return self.dataset_sz
 
     def __getitem__(self, idx=None) -> np.ndarray:
-        d = int(self._rng.choice(len(self.datasets), p=self.probs))
-        return self.datasets[d][None if idx is None else idx]
+        if idx is None:
+            return self.sample(self._rng)
+        # indexed access must be a pure function of idx (thread pools /
+        # pod hosts call out of order): derive the corpus choice from an
+        # idx-seeded rng, not the shared stateful one
+        rng = np.random.default_rng((self.seed * 2654435761 + idx + 1)
+                                    % (2 ** 31))
+        return self.sample(rng)
 
     def sample(self, rng: np.random.Generator) -> np.ndarray:
         d = int(rng.choice(len(self.datasets), p=self.probs))
@@ -231,9 +245,12 @@ CORPUS_SPECS: Dict[str, CorpusSpec] = {
         "LOCATA_benchmark2", geometry=ARRAY_GEOMETRIES["locata_benchmark2"]),
     "MCWSJ": CorpusSpec("MCWSJ"),
     "LibriCSS": CorpusSpec("LibriCSS"),
-    "AMI": CorpusSpec("AMI"),
+    # channel-per-file corpora: one wav per channel, grouped by stem
+    # (the bespoke data/corpora.py readers encode the full per-corpus
+    # layouts/geometry; these generic specs cover ad-hoc trees)
+    "AMI": CorpusSpec("AMI", channel_per_file=True),
     "AISHELL4": CorpusSpec("AISHELL4"),
     "M2MeT": CorpusSpec("M2MeT"),
-    "CHiME3": CorpusSpec("CHiME3"),
-    "RealMAN": CorpusSpec("RealMAN"),
+    "CHiME3": CorpusSpec("CHiME3", channel_per_file=True),
+    "RealMAN": CorpusSpec("RealMAN", channel_per_file=True),
 }

@@ -74,7 +74,14 @@ class SceneSynthesizer:
         nsrc = cfg["src_traj_pts"].shape[-1]
         if source_fn is None:
             source_fn = _default_source
-        src = source_fn(rng, nsample)[:, :nsrc]
+        src = source_fn(rng, nsample)
+        if src.shape[1] < nsrc:
+            # draw independent extra sources rather than silently synthesizing
+            # fewer sources than the scene's annotations declare
+            extra = [source_fn(rng, nsample)[:, :1]
+                     for _ in range(nsrc - src.shape[1])]
+            src = np.concatenate([src] + extra, axis=1)
+        src = src[:, :nsrc]
 
         mic_clean, _ = ism.rir_conv_src(rir, src, fs)
         mic_dp, _ = ism.rir_conv_src(rir_dp, src, fs)
@@ -91,9 +98,18 @@ class SceneSynthesizer:
                                          sampler)
         elif self.noise_type in ("diffuse_xsrc", "real_world"):
             assert self.noise_paths, f"{self.noise_type} noise needs wav paths"
-            from .wavio import read_wav
-            rec, rec_fs = read_wav(
-                self.noise_paths[int(rng.integers(len(self.noise_paths)))])
+            # ranged read: decode only the needed stretch of (potentially
+            # hours-long) noise recordings, not the whole file
+            from .wavio import audio_info, read_audio
+            path = self.noise_paths[int(rng.integers(len(self.noise_paths)))]
+            info = audio_info(path)
+            rec_fs = info.fs
+            need = -(-nsample * rec_fs // fs)
+            if self.noise_type == "diffuse_xsrc":
+                need *= nmic
+            st = (int(rng.integers(0, info.frames - need))
+                  if info.frames > need else 0)
+            rec, _ = read_audio(path, st, min(st + need, info.frames))
             if self.noise_type == "diffuse_xsrc":
                 noi = noise_mod.xsrc_noise(rng, nsample, cfg["mic_pos"], fs,
                                            rec[:, 0], rec_fs, c)

@@ -36,7 +36,11 @@ class SyntheticPairs:
 
 def synth_batch(rng: np.random.Generator, nb: int, nsample: int,
                 max_tdoa: int = 10, snr_range=(15.0, 30.0)):
-    """Returns (wave (nb, nsample, 2) float32, tdoa_samples (nb,) float32)."""
+    """Returns (wave (nb, nsample, 2) float32, tdoa_samples (nb,) float32).
+
+    The label follows the annotation convention everywhere else in the
+    package (annotations.tdoa_from_geometry, device_synth, LOCATA):
+    positive = mic 1 receives LATER than mic 0."""
     pad = max_tdoa + 1
     src = rng.standard_normal((nb, nsample + 2 * pad)).astype(np.float32)
     # cheap coloration: 2-tap AR smoothing to make it speech-ish band-limited
@@ -58,7 +62,9 @@ def synth_batch(rng: np.random.Generator, nb: int, nsample: int,
     wave = wave + noise
     peak = np.abs(wave).max(axis=(1, 2), keepdims=True)
     wave = wave / np.maximum(peak, 1e-6) * 0.9
-    return wave.astype(np.float32), tdoa.astype(np.float32)
+    # m1[t] = m0[t + tdoa]: mic 1 hears everything tdoa samples EARLIER, so
+    # its arrival delay vs mic 0 is -tdoa (annotation sign convention)
+    return wave.astype(np.float32), (-tdoa).astype(np.float32)
 
 
 def synth_batch_multich(rng: np.random.Generator, nb: int, nsample: int,
@@ -66,7 +72,8 @@ def synth_batch_multich(rng: np.random.Generator, nb: int, nsample: int,
                         snr_range=(15.0, 30.0)):
     """nch-channel variant: each mic k>0 is the source delayed by an
     independent random offset. Returns (wave (nb, nsample, nch) float32,
-    tdoa_samples (nb, nch-1) float32 vs mic 0)."""
+    tdoa_samples (nb, nch-1) float32 vs mic 0, annotation sign
+    convention: positive = mic k receives later)."""
     pad = max_tdoa + 1
     src = rng.standard_normal((nb, nsample + 2 * pad)).astype(np.float32)
     src[:, 1:] += 0.7 * src[:, :-1]
@@ -88,4 +95,4 @@ def synth_batch_multich(rng: np.random.Generator, nb: int, nsample: int,
     wave = wave + noise
     peak = np.abs(wave).max(axis=(1, 2), keepdims=True)
     wave = wave / np.maximum(peak, 1e-6) * 0.9
-    return wave.astype(np.float32), tdoa.astype(np.float32)
+    return wave.astype(np.float32), (-tdoa).astype(np.float32)

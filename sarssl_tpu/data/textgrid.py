@@ -44,6 +44,39 @@ def parse_textgrid(path_or_text: str) -> Dict[str, List[Interval]]:
                                   m.group(3).strip()))
         if ivals:
             tiers[name] = ivals
+    if tiers:
+        return tiers
+    return _parse_short_form(text)
+
+
+def _parse_short_form(text: str) -> Dict[str, List[Interval]]:
+    """Short-form TextGrid: bare values in fixed order after the header —
+    per tier: class, name, xmin, xmax, n, then (xmin, xmax, text) triplets."""
+    toks: List[str] = []
+    for line in text.splitlines():
+        t = line.strip()
+        if t:
+            toks.append(t)
+    tiers: Dict[str, List[Interval]] = {}
+    i = 0
+    while i < len(toks):
+        if toks[i] in ('"IntervalTier"',):
+            try:
+                name = toks[i + 1].strip('"')
+                n = int(float(toks[i + 4]))
+                j = i + 5
+                ivals = []
+                for _ in range(n):
+                    ivals.append(Interval(float(toks[j]), float(toks[j + 1]),
+                                          toks[j + 2].strip('"').strip()))
+                    j += 3
+                if ivals:
+                    tiers[name] = ivals
+                i = j
+                continue
+            except (IndexError, ValueError):
+                break
+        i += 1
     return tiers
 
 
