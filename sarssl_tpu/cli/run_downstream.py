@@ -116,7 +116,7 @@ def main(argv=None):
 
     fs = 16000
     T = args.T or cfg.T
-    nsample = int(T * fs) if not args.smoke else 2304
+    nsample = round(T * fs) if not args.smoke else 2304
     feat_cfg = FeatureConfig()
     nt = feat_cfg.num_frames(nsample)
 

@@ -24,7 +24,8 @@ class AcousticSetting:
 
     @property
     def nsample(self) -> int:
-        return int(self.T * self.fs)
+        return round(self.T * self.fs)  # round: float products
+        # epsilon-under an integer must not drop a sample
 
 
 @dataclass
@@ -48,7 +49,9 @@ SIM_LR_SET = (1e-3, 5e-4, 1e-4, 5e-5)
 SIM_BS_SET = (8,)
 REAL_LR_SET = (1e-3, 1e-4)
 REAL_BS_SET = (16,)
-SIM_ROOM_TRIALS = {2: 16, 4: 8, 8: 4, 16: 2, 32: 1, 64: 1, 128: 1, 256: 1}
+# derived from the ntrial rule (opt.py:205-206: max(1, round(32/nsimroom)))
+# so the policy has one source of truth
+SIM_ROOM_TRIALS = {n: max(1, round(32 / n)) for n in (2, 4, 8, 16, 32, 64, 128, 256)}
 
 
 @dataclass

@@ -95,7 +95,7 @@ class LOCATADataset:
         sil = silence_onset(sig, file_fs)
         nsil = int(sil * file_fs)
         usable = sig.shape[0] - nsil
-        n_desired = int(self.T * file_fs)
+        n_desired = round(self.T * file_fs)
         lo, hi = SPLIT_RATIO[self.stage]
         st_min = nsil + int(usable * lo)
         st_max = max(nsil + int(usable * hi) - n_desired, st_min + 1)
@@ -108,7 +108,7 @@ class LOCATADataset:
             anno = {"TDOA": np.float32(np.mean(tdoa))}
         if file_fs != self.fs:
             crop = scipy.signal.resample_poly(crop, self.fs, file_fs)
-        n = int(self.T * self.fs)
+        n = round(self.T * self.fs)
         if crop.shape[0] < n:
             crop = np.pad(crop, ((0, n - crop.shape[0]), (0, 0)))
         crop = crop[:n]

@@ -23,9 +23,16 @@ class MetricLogger:
                 pass
 
     def log(self, split: str, step: int, metrics: Dict[str, float]):
+        # accept anything float() can convert (np/jnp scalars included);
+        # only genuinely non-scalar values (arrays, strings) are skipped
+        scalars = {}
+        for k, v in metrics.items():
+            try:
+                scalars[k] = float(v)
+            except (TypeError, ValueError):
+                pass
         rec = {"split": split, "step": int(step), "time": time.time(),
-               **{k: float(v) for k, v in metrics.items()
-                  if isinstance(v, (int, float))}}
+               **scalars}
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
         if self._tb is not None:
@@ -33,9 +40,8 @@ class MetricLogger:
                 self._writers[split] = self._tb(
                     os.path.join(self.log_dir, split))
             w = self._writers[split]
-            for k, v in metrics.items():
-                if isinstance(v, (int, float)):
-                    w.add_scalar(k, v, step)
+            for k, v in scalars.items():
+                w.add_scalar(k, v, step)
 
     def close(self):
         self._jsonl.close()

@@ -35,31 +35,38 @@ def estimate_flops(fn, *args) -> float:
     reference's FlopCounterMode printout, utils.py:75-89). Returns GFLOPs."""
     import jax
     lowered = jax.jit(fn).lower(*args)
-    cost = lowered.compile().cost_analysis()
+    cost = lowered.compile().cost_analysis() or {}
     if isinstance(cost, list):
         cost = cost[0] if cost else {}
     return float(cost.get("flops", 0.0)) / 1e9
 
 
-def forgetting_norm(x, num_frames: int = 300):
-    """Exponential 'forgetting' normalization over time frames
-    (reference utils.py:145-xxx): running mean magnitude with decay
-    weight (num_frames-1)/num_frames, applied along the time axis.
+def forgetting_norm(x, num_frame_set: int = None):
+    """Per-frame 'forgetting' normalizer (reference common/utils.py:142-172,
+    "Online Monaural Speech Enhancement using Delayed Subband LSTM"):
+    running mean of the per-frame average magnitude with a warm-up smoothing
+    factor alpha_t = (t-1)/(t+1) that saturates at (N-1)/(N+1).
 
-    x: (..., nt) magnitude-like array; returns same-shape normalizer.
+    x: (B, C, F, T) magnitude-like array; returns (B, 1, 1, T).
     """
-    import jax.numpy as jnp
     import jax
+    import jax.numpy as jnp
 
-    alpha = (num_frames - 1) / num_frames
+    assert x.ndim == 4, x.shape
+    B, C, F, T = x.shape
+    N = T if num_frame_set is None else num_frame_set
+    frame_mu = jnp.mean(x.reshape(B, C * F, T), axis=1)       # (B, T)
+    t = jnp.arange(T)
+    alpha = jnp.where(t <= N, (t - 1) / (t + 1), (N - 1) / (N + 1))
 
-    def step(mu, xt):
-        mu = alpha * mu + (1 - alpha) * xt
+    def step(mu, inp):
+        a, m = inp
+        mu = a * mu + (1 - a) * m
         return mu, mu
 
-    xt = jnp.moveaxis(x, -1, 0)
-    _, mus = jax.lax.scan(step, jnp.zeros_like(xt[0]), xt)
-    return jnp.moveaxis(mus, 0, -1)
+    _, mus = jax.lax.scan(step, jnp.zeros((B,), x.dtype),
+                          (alpha.astype(x.dtype), frame_mu.T))
+    return mus.T.reshape(B, 1, 1, T)
 
 
 def cross_validation_datadirs(room_dirs: Sequence[str]):

@@ -95,15 +95,22 @@ def _lp(x: np.ndarray, p: float, axis=None) -> np.ndarray:
     return np.mean(np.abs(x) ** p, axis=axis) ** (1.0 / p)
 
 
+_EXT_PESQ = ...  # resolved once on first use (import attempts are slow)
+
+
 def pesq_wb(ref: np.ndarray, deg: np.ndarray, fs: int = 16000) -> float:
-    """Wideband PESQ MOS-LQO of a (pre-aligned) degraded signal."""
-    ext = _external_pesq()
-    if ext is not None:
-        try:
-            return ext(np.asarray(ref, np.float32),
-                       np.asarray(deg, np.float32), fs)
-        except Exception:
-            pass
+    """Wideband PESQ MOS-LQO of a (pre-aligned) degraded signal.
+
+    Uses the external P.862 implementation when installed; its per-utterance
+    errors (e.g. no-utterance detection) PROPAGATE so callers record NaN
+    rather than silently mixing the vendored approximation's score scale
+    into the same average."""
+    global _EXT_PESQ
+    if _EXT_PESQ is ...:
+        _EXT_PESQ = _external_pesq()
+    if _EXT_PESQ is not None:
+        return _EXT_PESQ(np.asarray(ref, np.float32),
+                         np.asarray(deg, np.float32), fs)
     return _pesq_wb_numpy(np.asarray(ref, np.float64).ravel(),
                           np.asarray(deg, np.float64).ravel(), fs)
 
@@ -165,10 +172,10 @@ def _pesq_wb_numpy(ref: np.ndarray, deg: np.ndarray, fs: int) -> float:
     asym = np.where(asym < 3.0, 0.0, np.minimum(asym, 12.0))
     d_asym = d * asym
 
-    # 8. frame disturbances: weighted band norms, normalized by loudness
-    width = np.ones(_NBARK) / _NBARK
-    frame_sym = _lp(d * width[None, :] * _NBARK, 3.0, axis=1)
-    frame_asym = np.sum(np.abs(d_asym) * width[None, :] * _NBARK, axis=1)
+    # 8. frame disturbances: band norms normalized by loudness (uniform
+    # Bark-band weights reduce to identity and are omitted)
+    frame_sym = _lp(d, 3.0, axis=1)
+    frame_asym = np.sum(np.abs(d_asym), axis=1)
     denom = (lr.sum(axis=1) + 1e5) ** 0.04
     frame_sym = np.minimum(frame_sym / denom, 45.0)
     frame_asym = np.minimum(frame_asym / denom, 45.0)

@@ -24,6 +24,12 @@ def set_seed(seed: int):
 
 
 def epoch_key(root_key, purpose: str, epoch: int):
-    """Independent stream per (purpose, epoch)."""
-    k = jax.random.fold_in(root_key, _PURPOSES.get(purpose, hash(purpose) % 997))
+    """Independent stream per (purpose, epoch). Unknown purposes use a
+    stable crc32 digest (str hash() is salted per process), offset past the
+    reserved ids so custom streams cannot alias 'train'/'val'/..."""
+    import zlib
+    pid = _PURPOSES.get(purpose)
+    if pid is None:
+        pid = len(_PURPOSES) + zlib.crc32(purpose.encode()) % 991
+    k = jax.random.fold_in(root_key, pid)
     return jax.random.fold_in(k, epoch)

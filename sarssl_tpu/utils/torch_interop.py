@@ -156,6 +156,10 @@ def flax_to_torch_state_dict(variables, cfg) -> Dict[str, np.ndarray]:
     state-dict layout (numpy arrays; caller wraps in torch tensors)."""
     params = variables["params"]
     stats = variables.get("batch_stats", {})
+    assert "spec_encoder" in stats, (
+        "flax_to_torch_state_dict needs the 'batch_stats' collection (the "
+        "reference CNN front-ends carry BatchNorm running stats); pass the "
+        "full variables dict from model.init/apply")
     out: Dict[str, np.ndarray] = {}
     _encoder(out, "spec_encoder", params["spec_encoder"],
              stats["spec_encoder"], cfg.spec_layers)
