@@ -65,9 +65,14 @@ def test_estimate_flops_matmul():
 
 
 def test_forgetting_norm_converges_to_mean():
-    x = jnp.ones((4, 100)) * 3.0
-    out = forgetting_norm(x, num_frames=10)
-    assert float(out[0, -1]) == pytest.approx(3.0, rel=0.01)
+    # reference semantics (common/utils.py:142-172): (B,C,F,T) in,
+    # (B,1,1,T) per-frame normalizer out, converging to the running mean
+    x = jnp.ones((4, 2, 3, 100)) * 3.0
+    out = forgetting_norm(x, num_frame_set=10)
+    assert out.shape == (4, 1, 1, 100)
+    assert float(out[0, 0, 0, -1]) == pytest.approx(3.0, rel=0.01)
+    # warm-up: the first frame's alpha is (0-1)/(0+1) = -1 -> mu_0 = 2*m_0
+    assert float(out[0, 0, 0, 0]) == pytest.approx(6.0, rel=0.01)
 
 
 def test_cross_validation_splits():
