@@ -253,3 +253,37 @@ def test_moving_trajectory_time_mode_shape():
     cfg = sample_acoustic_scene(4, replace(CFG, source_state="moving",
                                            nb_points=12))
     assert cfg["src_traj_pts"].shape == (12, 3, 1)
+
+
+def test_noise_from_recordings_odd_sample_rates():
+    """xsrc/real-world noise must survive resample_poly rounding at any
+    source rate (regression: ragged np.stack / short signals)."""
+    from sarssl_tpu.data import noise as nm
+
+    rng = np.random.default_rng(0)
+    mic_pos = np.array([[0.0, 0, 0], [0.1, 0, 0]])
+    rec = rng.standard_normal(30000)
+    for rec_fs in (11025, 16000, 44100, 48000):
+        out = nm.xsrc_noise(rng, 65792, mic_pos, 16000, rec, rec_fs)
+        assert out.shape == (65792, 2)
+        rw = nm.real_world_noise(rng, 65792, 2, np.stack([rec, rec], 1),
+                                 rec_fs, 16000)
+        assert rw.shape == (65792, 2)
+
+
+def test_synth_batch_tdoa_sign_matches_cross_correlation():
+    """The synthetic generator's TDOA labels follow the annotation
+    convention (positive = mic 1 receives LATER): the cross-correlation
+    peak lag of (m1 vs m0) must equal the label."""
+    from sarssl_tpu.data.synthetic import synth_batch
+
+    rng = np.random.default_rng(7)
+    wave, tdoa = synth_batch(rng, 8, 4096, max_tdoa=8, snr_range=(40.0, 40.0))
+    for b in range(8):
+        m0, m1 = wave[b, :, 0], wave[b, :, 1]
+        lags = np.arange(-10, 11)
+        xc = [np.dot(m1[max(0, l):4096 + min(0, l)],
+                     m0[max(0, -l):4096 - max(0, l)]) for l in lags]
+        # m1 delayed by 'lag' samples vs m0 -> peak at lag == tdoa label
+        assert lags[int(np.argmax(xc))] == int(tdoa[b]), (
+            b, tdoa[b], lags[int(np.argmax(xc))])
