@@ -131,10 +131,31 @@ class SceneSynthesizer:
         if self.mic_vad == "dp_ratio":
             from .annotations import mic_vad_dp_ratio
             annos["mic_vad_src"] = mic_vad_dp_ratio(mic_sig, mic_dp, fs)
+        elif self.mic_vad == "src_energy":
+            # the reference's 'src_webrtc' pipeline (utils_simu_rir_sig.py
+            # :1043-1052) with the webrtcvad detector (absent from this
+            # environment) replaced by a frame-energy detector: per-source
+            # VAD track convolved through the direct-path RIR, thresholded
+            # at mean > max * 1e-3 per sample.
+            win = int(fs * 0.030)
+            vads = []
+            for s_idx in range(src.shape[1]):
+                ssig = src[:, s_idx]
+                nfr = len(ssig) // win
+                e = np.mean(ssig[: nfr * win].reshape(nfr, win) ** 2, axis=1)
+                edb = 10 * np.log10(e + 1e-12)
+                frame_vad = (edb > edb.max() - 40.0).astype(np.float32)
+                track = np.repeat(frame_vad, win)
+                track = np.pad(track, (0, nsample - len(track)))
+                conv, _ = ism.rir_conv_src(
+                    rir_dp[..., s_idx:s_idx + 1], track[:, None], fs)
+                vads.append(conv[:nsample].mean(axis=1)
+                            > conv[:nsample].max() * 1e-3)
+            annos["mic_vad_src"] = np.stack(vads, axis=1).astype(bool)
         elif self.mic_vad:
             raise ValueError(f"unsupported mic_vad mode: {self.mic_vad} "
-                             f"(only 'dp_ratio'; 'src_webrtc' needs the "
-                             f"webrtcvad package)")
+                             f"(use 'dp_ratio' or 'src_energy'; the "
+                             f"reference's 'src_webrtc' needs webrtcvad)")
         info = {"SNR": np.float32(snr), "T60_specify": cfg["T60_specify"],
                 "T60_sabine": cfg["T60_sabine"], "T60_edc": t60_edc,
                 "room_sz": np.asarray(cfg["room_sz"], np.float32),

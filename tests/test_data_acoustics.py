@@ -287,3 +287,17 @@ def test_synth_batch_tdoa_sign_matches_cross_correlation():
         # m1 delayed by 'lag' samples vs m0 -> peak at lag == tdoa label
         assert lags[int(np.argmax(xc))] == int(tdoa[b]), (
             b, tdoa[b], lags[int(np.argmax(xc))])
+
+
+def test_scene_src_energy_vad():
+    """'src_energy' VAD: the reference src_webrtc machinery with an energy
+    detector — boolean per-sample per-source track through the dp RIR."""
+    from dataclasses import replace
+
+    synth = SceneSynthesizer(cfg=CFG, T=0.5, noise_type="spatial_white",
+                             mic_vad="src_energy")
+    sig, info = synth.generate(11)
+    vad = info["mic_vad_src"]
+    assert vad.dtype == bool and vad.shape == (int(0.5 * FS), 1)
+    frac = vad.mean()
+    assert 0.05 < frac <= 1.0, frac  # speech-like source: mostly active
