@@ -114,3 +114,23 @@ def test_e2e_gen_simu_to_downstream(tmp_path):
     assert results, "downstream grid wrote no results.json"
     payload = json.loads(results[0].read_text())
     assert payload, "empty results"
+
+
+@pytest.mark.slow
+def test_e2e_real_mix_pretrain(tmp_path):
+    """Real-corpus pretraining path end to end: a synthetic stereo corpus
+    tree -> RandomRealDataset mixing -> one tiny pretrain epoch."""
+    import numpy as np
+    from sarssl_tpu.data.wavio import write_wav
+    from sarssl_tpu.cli.run_pretrain import main as pre_main
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "corpusA"
+    d.mkdir()
+    for i in range(6):
+        write_wav(str(d / f"rec{i}.wav"),
+                  (rng.standard_normal((24000, 2)) * 0.1).astype(np.float32),
+                  16000)
+    rc = pre_main(["--smoke", "--real-data-dirs", str(d),
+                   "--exp-dir", str(tmp_path / "exp")])
+    assert rc in (0, None)
