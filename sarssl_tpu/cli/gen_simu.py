@@ -45,7 +45,7 @@ def build_parser():
     p.add_argument("--noise-dir", type=str, default=None,
                    help="wav tree for diffuse_xsrc / real_world noise")
     p.add_argument("--mic-vad", type=str, default=None,
-                   choices=["dp_ratio"],
+                   choices=["dp_ratio", "src_energy"],
                    help="save a frame-level VAD annotation "
                         "(utils_simu_rir_sig.py:1026-1041)")
     p.add_argument("--t60-range", type=float, nargs=2, default=[0.2, 1.3])

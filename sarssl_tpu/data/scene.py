@@ -101,7 +101,20 @@ class SceneSynthesizer:
             # ranged read: decode only the needed stretch of (potentially
             # hours-long) noise recordings, not the whole file
             from .wavio import audio_info, read_audio
-            path = self.noise_paths[int(rng.integers(len(self.noise_paths)))]
+            paths = self.noise_paths
+            if self.noise_type == "real_world":
+                # only recordings whose channel count matches the array
+                if not hasattr(self, "_rw_paths"):
+                    self._rw_paths = {}
+                if nmic not in self._rw_paths:
+                    self._rw_paths[nmic] = tuple(
+                        p for p in self.noise_paths
+                        if audio_info(p).channels == nmic)
+                paths = self._rw_paths[nmic]
+                assert paths, (f"no {nmic}-channel recordings among "
+                               f"{len(self.noise_paths)} noise paths for "
+                               f"real_world noise")
+            path = paths[int(rng.integers(len(paths)))]
             info = audio_info(path)
             rec_fs = info.fs
             need = -(-nsample * rec_fs // fs)
