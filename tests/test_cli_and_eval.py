@@ -134,3 +134,46 @@ def test_e2e_real_mix_pretrain(tmp_path):
     rc = pre_main(["--smoke", "--real-data-dirs", str(d),
                    "--exp-dir", str(tmp_path / "exp")])
     assert rc in (0, None)
+
+
+def test_pretext_metrics_match_torch_reference_math():
+    """mse/mse_mask/mse_mask_ch agree with a torch re-enactment of the
+    reference pretrain_evaluate (learner.py:574-601), incl. the re/im-tiled
+    mask denominator."""
+    import numpy as np
+    import torch
+    import jax
+    from sarssl_tpu.ops.mask import PatchMask
+    from sarssl_tpu.ops.patches import patch_split
+    from sarssl_tpu.train.pretext_eval import pretext_metrics
+
+    nb, nf, nt, nmic = 2, 8, 6, 2
+    rng = np.random.default_rng(3)
+    pred_tf = rng.standard_normal((nb, nf, nt, 2, nmic)).astype(np.float32)
+    tar_tf = rng.standard_normal((nb, nf, nt, 2, nmic)).astype(np.float32)
+    # mask: frames 1,3 masked on channel chosen per item
+    patch = np.zeros((nb, nt), np.float32); patch[:, [1, 3]] = 1.0
+    ch = np.array([0, 1])
+    mask = PatchMask(patch=jnp.asarray(patch),
+                     ch=jnp.asarray(ch),
+                     idx=jnp.asarray(np.tile([1, 3], (nb, 1))))
+
+    split = lambda x: patch_split(jnp.asarray(x), (nf, 1))
+    aux = {"pred": split(pred_tf), "tar": split(tar_tf), "mask": mask}
+    m = pretext_metrics(aux, (nf, nt), (nf, 1))
+
+    # torch re-enactment (mask_batch: 1 = kept)
+    mask_dense = np.ones((nb, nf, nt, nmic), np.float32)
+    for b in range(nb):
+        mask_dense[b, :, [1, 3], ch[b]] = 0.0
+    tp, tg = torch.from_numpy(pred_tf), torch.from_numpy(tar_tf)
+    md = torch.from_numpy(mask_dense)[:, :, :, None, :].tile(1, 1, 1, 2, 1)
+    diff = (tp - tg) ** 2
+    diff_mask = diff * (1 - md)
+    ref_mse_mask = (diff_mask.sum() / (1 - md).sum()).item()
+    ref_mse_mask_ch = torch.mean(diff_mask.sum(dim=4)).item()
+    ref_mse = diff.mean().item()
+
+    assert m["mse"] == pytest.approx(ref_mse, rel=1e-5)
+    assert m["mse_mask"] == pytest.approx(ref_mse_mask, rel=1e-5)
+    assert m["mse_mask_ch"] == pytest.approx(ref_mse_mask_ch, rel=1e-5)
