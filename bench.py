@@ -5,7 +5,7 @@ Runs the full-size configuration from the reference drivers
 2-mic waveforms, STFT (512/256/512), dual MC-Conformer encoders
 (spec d=512 x1, spat d=256 x3) and the MLP decoder — one fused jitted train
 step (features + masking + fwd + bwd + Adam), bf16 compute / f32 params, with
-the Pallas fused attention and hardware-PRNG dropout kernels enabled.
+the Pallas fused attention kernel and fused XLA counter-hash dropout masks.
 
 Prints ONE JSON line:
   {"metric": "pretrain_utts_per_sec_per_chip", "value": N, "unit": "utt/s",

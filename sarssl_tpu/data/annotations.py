@@ -14,7 +14,7 @@ EDC-based T60 estimator (:526-614):
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 import scipy.stats

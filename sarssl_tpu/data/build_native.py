@@ -1,7 +1,6 @@
 """Build the native C++ kernels: ``python -m sarssl_tpu.data.build_native``."""
 import os
 import subprocess
-import sys
 
 CSRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "csrc")
 

@@ -27,7 +27,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.stft import istft, hann_window
 

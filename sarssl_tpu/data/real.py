@@ -15,15 +15,14 @@ reader testable with synthetic trees while supporting the same corpora
 from __future__ import annotations
 
 import itertools
-import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import scipy.signal
 
-from .wavio import audio_info, read_audio, read_wav
+from .wavio import audio_info, read_audio
 
 # Published microphone geometries (meters). LOCATA arrays follow the official
 # challenge documentation (also tabulated in the reference at

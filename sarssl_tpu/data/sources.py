@@ -8,7 +8,6 @@ stretches (webrtcvad when installed, else an energy gate).
 """
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Dict, List, Optional
 

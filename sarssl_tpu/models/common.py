@@ -1,8 +1,6 @@
 """Shared small modules."""
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import flax.linen as nn
 
 from ..kernels.dropout import fused_dropout

@@ -21,7 +21,6 @@ TPU-first choices:
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

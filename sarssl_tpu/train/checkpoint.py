@@ -11,7 +11,6 @@ framework-portable and contain no pickled code.
 """
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Dict, List, Optional, Sequence
 

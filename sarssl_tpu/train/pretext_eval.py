@@ -12,7 +12,7 @@ sample-aligned with its target by construction).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,6 @@ Steps take ``lr`` as a traced scalar so per-epoch schedules don't recompile.
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

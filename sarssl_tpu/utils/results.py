@@ -8,9 +8,8 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
-import numpy as np
 
 
 def read_results(exp_dir: str) -> Dict:

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import sys
 import types
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 
