@@ -301,3 +301,31 @@ def test_scene_src_energy_vad():
     assert vad.dtype == bool and vad.shape == (int(0.5 * FS), 1)
     frac = vad.mean()
     assert 0.05 < frac <= 1.0, frac  # speech-like source: mostly active
+
+
+def test_ism_first_order_images_analytic():
+    """First-order wall reflections: each of the 6 image sources must
+    produce a peak at its analytic delay with amplitude beta/(4 pi d_img)."""
+    room = np.array([5.0, 4.0, 3.0])
+    src = np.array([2.0, 1.5, 1.0])
+    mic = np.array([[3.0, 2.5, 1.8]])
+    beta = np.full(6, 0.8)
+    rir = ism.simulate_rir_single(room, beta, src, mic, FS, T60=0.25,
+                                  rng=np.random.default_rng(0))[0]
+    c = 343.0
+    # image positions for walls x=0, x=Lx, y=0, y=Ly, z=0, z=Lz
+    images = [src * np.array([-1, 1, 1]),
+              np.array([2 * room[0] - src[0], src[1], src[2]]),
+              src * np.array([1, -1, 1]),
+              np.array([src[0], 2 * room[1] - src[1], src[2]]),
+              src * np.array([1, 1, -1]),
+              np.array([src[0], src[1], 2 * room[2] - src[2]])]
+    for img in images:
+        d = float(np.linalg.norm(img - mic[0]))
+        n = d / c * FS
+        lo, hi = int(np.floor(n)) - 1, int(np.ceil(n)) + 2
+        seg = np.abs(rir[lo:hi])
+        expect = 0.8 / (4 * np.pi * d)
+        # sinc interpolation spreads the tap; the local peak must carry
+        # most of the expected image amplitude
+        assert seg.max() > 0.5 * expect, (d, seg.max(), expect)
