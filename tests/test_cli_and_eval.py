@@ -69,8 +69,22 @@ def test_pretext_metrics_shapes():
     assert np.isfinite(m["mse"]) and np.isfinite(m["mse_mask"])
     assert m["sig_pred"].shape == m["sig_tar"].shape
     assert m["sig_pred"].shape[0] == 2 and m["sig_pred"].shape[2] == 2
-    # masked-region MSE should exceed full MSE for an untrained model
     assert m["mse_mask"] > 0
+    # the reference denominator counts re AND im cells: recompute from aux
+    from sarssl_tpu.ops.patches import patch_recover
+    pred = np.asarray(patch_recover(aux["pred"].astype(jnp.float32),
+                                    (cfg.sig_shape[0], cfg.sig_shape[1]),
+                                    cfg.patch_shape))
+    tar = np.asarray(patch_recover(aux["tar"].astype(jnp.float32),
+                                   (cfg.sig_shape[0], cfg.sig_shape[1]),
+                                   cfg.patch_shape))
+    mp = np.asarray(aux["mask"].patch); chm = np.asarray(aux["mask"].ch)
+    md = np.ones(pred.shape[:3] + (pred.shape[4],), np.float32)
+    for b in range(2):
+        md[b, :, mp[b].astype(bool), chm[b]] = 0.0
+    md = np.broadcast_to(md[:, :, :, None, :], pred.shape)
+    ref = ((pred - tar) ** 2 * (1 - md)).sum() / (1 - md).sum()
+    assert m["mse_mask"] == pytest.approx(float(ref), rel=1e-5)
 
 
 def test_mae_without_training():

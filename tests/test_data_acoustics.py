@@ -72,7 +72,6 @@ def test_ism_native_matches_numpy():
     args = dict(room_sz=room, beta=beta, src_pos=[2.0, 1.5, 1.4],
                 mic_pos=[[1.0, 1.0, 1.0], [1.1, 1.0, 1.0]], fs=FS,
                 T60=sabine_t60(room, 1 - beta ** 2))
-    rng = np.random.default_rng(7)
     r_native = ism.simulate_rir_single(**args, rng=np.random.default_rng(1))
     # force numpy path
     import sarssl_tpu.data.native as nat

@@ -76,10 +76,13 @@ def test_dp_from_rir_window():
     rir[100, 0] = 1.0
     rir[500, 0] = 0.5   # echo outside the window
     rir[100, 1] = 1.0
+    n0 = int(FS * 2.5 / 1000)
+    rir[100 + n0, 0] = 0.25       # last sample INSIDE the +/-2.5 ms window
+    rir[100 + n0 + 1, 0] = 0.125  # first sample OUTSIDE: must be zeroed
     dp = dp_from_rir(rir, FS)
     assert dp[100, 0] == 1.0 and dp[500, 0] == 0.0
-    n0 = int(FS * 2.5 / 1000)
-    assert dp[100 + n0, 0] == rir[100 + n0, 0]
+    assert dp[100 + n0, 0] == 0.25       # window edge kept
+    assert dp[100 + n0 + 1, 0] == 0.0    # just past the edge dropped
 
 
 def test_micsig_from_rir_dataset(tmp_path):

@@ -58,13 +58,15 @@ def test_feeds_training_step():
     from sarssl_tpu.ops import FeatureConfig, gen_patch_mask
     from sarssl_tpu.train import create_train_state, make_pretrain_step
 
-    cfg = DeviceSynthConfig(nsample=2304)
-    feat = FeatureConfig()
-    nt = feat.num_frames(2304)
-    mcfg = SARSSLConfig().tiny(sig_shape=(256, nt, 2, 2), patch_shape=(256, 1),
+    # small nfft profile (CLAUDE.md: step-heavy tests stay off the 256-bin
+    # flagship feature shape)
+    cfg = DeviceSynthConfig(nsample=576, nfft=128, hop=64)
+    feat = FeatureConfig(win_len=128, nfft=128)
+    nt = feat.num_frames(576)
+    mcfg = SARSSLConfig().tiny(sig_shape=(64, nt, 2, 2), patch_shape=(64, 1),
                                spec_dembed=32, spat_dembed=16)
     model = SARSSL(mcfg)
-    x0 = jnp.zeros((4, 2, 256, nt, 2))
+    x0 = jnp.zeros((4, 2, 64, nt, 2))
     m0 = gen_patch_mask(jax.random.key(0), 4, mcfg.npatch,
                         mcfg.effective_nmasked())
     state = create_train_state(model, jax.random.key(1), x0, m0)

@@ -29,8 +29,10 @@ def test_conv_trajectory_interpolates():
     h0 = np.zeros((1, 8)); h0[0, 0] = 1.0    # identity
     h1 = np.zeros((1, 8)); h1[0, 0] = 3.0    # 3x gain
     out = _conv_trajectory(np.stack([h0, h1]), src)
-    # at sample 10 of 100 with 2 points: weight ~0.2 toward h1 -> gain ~1.4
-    assert 1.0 < out[10, 0] < 3.0
+    # at sample 10 of 100 with 2 points the crossfade weight toward h1 is
+    # ~0.2 -> gain ~1.4; pin it so position-independent or reversed blends
+    # (gain 2.0 / 2.6) fail
+    assert out[10, 0] == pytest.approx(1.4, abs=0.25)
 
 
 def test_device_prefetch_order():
