@@ -162,8 +162,11 @@ class SceneSynthesizer:
                 track = np.pad(track, (0, nsample - len(track)))
                 conv, _ = ism.rir_conv_src(
                     rir_dp[..., s_idx:s_idx + 1], track[:, None], fs)
-                vads.append(conv[:nsample].mean(axis=1)
-                            > conv[:nsample].max() * 1e-3)
+                # threshold on magnitude: fractional-delay sinc sidelobes
+                # make RIR taps signed, and a signed mean can flip near the
+                # threshold on cancellation rather than on activity
+                mag = np.abs(conv[:nsample])
+                vads.append(mag.mean(axis=1) > mag.max() * 1e-3)
             annos["mic_vad_src"] = np.stack(vads, axis=1).astype(bool)
         elif self.mic_vad:
             raise ValueError(f"unsupported mic_vad mode: {self.mic_vad} "

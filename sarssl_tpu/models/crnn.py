@@ -195,8 +195,10 @@ class CauCRNN(nn.Module):
             y = CausCnnBlock(self.conv_chs, use_res=False, dtype=self.dtype,
                              name=f"block{i}")(y, train)
             y = nn.max_pool(y, window_shape=pool, strides=pool)
-        # (nb, nf', nt', ch) -> (nb, nt', ch*nf')
-        y = jnp.transpose(y, (0, 2, 1, 3)).reshape(nb, y.shape[2], -1)
+        # (nb, nf', nt', ch) -> (nb, nt', ch*nf'), channel-major like the
+        # reference's NCHW flatten (CRNN.py:350) so a torch weight transfer
+        # for the GRU input projection maps feature-for-feature
+        y = jnp.transpose(y, (0, 2, 3, 1)).reshape(nb, y.shape[2], -1)
         y = BiGRU(self.rnn_hid, bidirectional=False, dtype=self.dtype,
                   name="rnn")(y)
         y = nn.Dense(self.out_dim, dtype=self.dtype, name="fc")(y)

@@ -40,6 +40,37 @@ def test_dropout_grad_matches_mask():
     np.testing.assert_allclose(g, (out != 0) * 2.0 / 0.5, rtol=1e-5)
 
 
+def test_conv_s2d_interpret_matches_xla_fwd_and_grads():
+    """The experimental s2d Pallas conv (kernels/conv_s2d.py) verified on
+    CPU via interpret mode: forward and both VJPs against
+    lax.conv_general_dilated at an aligned shape."""
+    from sarssl_tpu.kernels.conv_s2d import conv3x3_s2d, supports_s2d
+
+    rng = np.random.default_rng(0)
+    B, H, W, C = 2, 8, 16, 4
+    assert supports_s2d((B, H, W, C))
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.2, jnp.float32)
+
+    def ref(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    out = conv3x3_s2d(x, w, 8, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(x, w)),
+                               rtol=1e-5, atol=1e-5)
+
+    dy = jnp.asarray(rng.standard_normal(out.shape), jnp.float32)
+    loss = lambda f: lambda x, w: jnp.sum(f(x, w) * dy)
+    gx, gw = jax.grad(loss(lambda x, w: conv3x3_s2d(x, w, 8, True)),
+                      argnums=(0, 1))(x, w)
+    gx_r, gw_r = jax.grad(loss(ref), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_dropout_inside_model_training_still_learns():
     """End-to-end sanity: the swapped Dropout module trains as before."""
     from sarssl_tpu.models import SARSSL, SARSSLConfig
