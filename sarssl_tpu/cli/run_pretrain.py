@@ -330,7 +330,6 @@ def _pretext_test(args, model, mcfg, feat_cfg, state, nsample):
     from ..train import checkpoint as ckpt
     from ..train.pretext_eval import pretext_metrics
     from ..utils.vis import plot_tf_reconstruction
-    from ..ops.patches import patch_recover
     from ..data import (FixMicSigDataset, SyntheticPairs, Selecting,
                         batch_iterator, write_wav)
 
@@ -350,7 +349,7 @@ def _pretext_test(args, model, mcfg, feat_cfg, state, nsample):
 
     out_dir = os.path.join(args.exp_dir, "test_dumps")
     os.makedirs(out_dir, exist_ok=True)
-    mses, mse_masks = [], []
+    mses, mse_masks, pesqs, pesq_mask_chs = [], [], [], []
     key = jax.random.key(123)
     for bi, wave in enumerate(batches):
         key, sub = jax.random.split(key)
@@ -364,20 +363,40 @@ def _pretext_test(args, model, mcfg, feat_cfg, state, nsample):
                             compute_pesq=True)
         mses.append(m["mse"])
         mse_masks.append(m["mse_mask"])
-        if bi == 0:  # dump first batch ('ins' mode)
-            nf, nt = mcfg.sig_shape[:2]
-            pred_tf = np.asarray(patch_recover(
-                aux["pred"].astype(jnp.float32), (nf, nt), mcfg.patch_shape))
-            tar_tf = np.asarray(patch_recover(
-                aux["tar"].astype(jnp.float32), (nf, nt), mcfg.patch_shape))
+        pesqs.append(m["pesq"])
+        pesq_mask_chs.append(m["pesq_mask_ch"])
+        if bi == 0:  # per-instance dumps, reference 'ins' mode
+            # (run_pretrain.py:462-483: mask/pred/tar/pesq .mat bundles)
+            pred_tf, tar_tf = m["pred_tf"], m["tar_tf"]
             plot_tf_reconstruction(pred_tf[0], tar_tf[0], None,
                                    os.path.join(out_dir, "recon_tf.png"))
             write_wav(os.path.join(out_dir, "pred0.wav"),
                       m["sig_pred"][0], 16000)
             write_wav(os.path.join(out_dir, "tar0.wav"),
                       m["sig_tar"][0], 16000)
-    print(f"pretext test: mse {np.mean(mses):.6f} "
-          f"masked mse {np.mean(mse_masks):.6f} (dumps in {out_dir})")
+            try:
+                from scipy.io import savemat
+                for i in range(min(pred_tf.shape[0], 32)):
+                    savemat(os.path.join(out_dir, f"ins_{i}.mat"),
+                            {"mask": m["mask_dense"][i],
+                             "pred": pred_tf[i], "tar": tar_tf[i],
+                             "pesq": m["pesq"][i]})
+            except Exception as e:  # .mat is a convenience artifact only
+                print("savemat skipped:", e)
+    pesq_all = np.concatenate(pesqs)
+    pesq_mc = np.concatenate(pesq_mask_chs)
+    summary = {"mse": float(np.mean(mses)),
+               "mse_mask": float(np.mean(mse_masks)),
+               "pesq": float(np.nanmean(pesq_all)),
+               "pesq_mask_ch": float(np.nanmean(pesq_mc))}
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        import json
+        json.dump(summary, f, indent=2)
+    print(f"pretext test: mse {summary['mse']:.6f} "
+          f"masked mse {summary['mse_mask']:.6f} "
+          f"pesq {summary['pesq']:.3f} "
+          f"pesq[masked ch] {summary['pesq_mask_ch']:.3f} "
+          f"(dumps in {out_dir})")
     return 0
 
 

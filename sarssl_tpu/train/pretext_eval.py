@@ -101,4 +101,8 @@ def pretext_metrics(aux: Dict, sig_shape, patch_shape,
     kept = np.asarray(jnp.sum(mask_dense, axis=(1, 2)))  # (nb, nmic)
     mask_ch = np.argmin(kept, axis=1)
     out["pesq_mask_ch"] = out["pesq"][np.arange(nb), mask_ch]
+    # per-instance artifacts for the reference's 'ins' test dumps
+    # (run_pretrain.py:462-483): dense kept-mask and the TF grids
+    out["mask_dense"] = np.asarray(mask_dense)
+    out["pred_tf"], out["tar_tf"] = np.asarray(pred), np.asarray(tar)
     return out
