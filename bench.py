@@ -12,10 +12,11 @@ Prints ONE JSON line:
    "vs_baseline": N}
 
 vs_baseline compares against REFERENCE_GPU_UPS, an estimate of the PyTorch
-reference's single-GPU throughput (the repo publishes no numbers — see
-BASELINE.md): ~20 GFLOP fwd/utt x3 for training at ~40% TF32 utilization on
-an A100 with DataParallel + per-item Python masking loops ≈ 130 utt/s.
-The BASELINE.json north star is vs_baseline >= 5.
+reference's single-A100 throughput (the repo publishes no numbers). The
+full model behind the 130 utt/s — FLOP count, per-op precision on A100,
+utilization ranges, eager overheads, and a same-silicon CPU cross-check
+against the actual torch reference — lives in BASELINE.md ("The
+vs_baseline denominator"). The BASELINE.json north star is vs_baseline >= 5.
 """
 import json
 import time

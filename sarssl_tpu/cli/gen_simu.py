@@ -57,7 +57,7 @@ def build_parser():
 
 def _gen_one(idx: int, *, seed: int, save_dir: str, T: float, fs: int,
              save_dp: bool, noise: str, t60_range, room_ranges,
-             noise_paths=(), mic_vad=None):
+             noise_paths=(), mic_vad=None, mode: str = "sig"):
     from ..data.rooms import AcousticSamplerConfig
     from ..data.scene import SceneSynthesizer
     from ..data.wavio import write_wav
@@ -66,6 +66,15 @@ def _gen_one(idx: int, *, seed: int, save_dir: str, T: float, fs: int,
                                 T60_range=tuple(t60_range), fs=fs)
     synth = SceneSynthesizer(cfg=cfg, T=T, noise_type=noise,
                              noise_paths=tuple(noise_paths), mic_vad=mic_vad)
+    if mode == "rir":
+        # RIR-only tree (reference gen_simu 'rir' mode, gen_simu.py:137-163):
+        # {idx}_rir.npy (nsamp, nmic, nsrc) + {idx}_rir_info.npz with the
+        # dp RIR, geometry and source-independent annotations — consumed by
+        # data.real_rir.SimRIRDataset for on-the-fly micsig synthesis
+        rir, info = synth.generate_rir(seed=seed + idx)
+        np.save(os.path.join(save_dir, f"{idx}_rir.npy"), rir)
+        np.savez(os.path.join(save_dir, f"{idx}_rir_info.npz"), **info)
+        return idx
     sig, info = synth.generate(seed=seed + idx)
     write_wav(os.path.join(save_dir, f"{idx}.wav"), sig, fs)
     if save_dp:
@@ -91,7 +100,7 @@ def main(argv=None):
         _gen_one, seed=seed, save_dir=args.save_dir, T=args.T, fs=args.fs,
         save_dp=args.save_dp, noise=args.noise, t60_range=args.t60_range,
         room_ranges=room_ranges, noise_paths=noise_paths,
-        mic_vad=args.mic_vad)
+        mic_vad=args.mic_vad, mode=args.mode)
 
     if args.workers <= 1:
         for i in range(args.data_num):

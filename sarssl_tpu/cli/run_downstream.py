@@ -47,8 +47,29 @@ def build_parser():
     p.add_argument("--rir-dir", type=str, default=None,
                    help="extracted real-RIR tree: train on-the-fly speech x "
                         "RIR (reference RandomMicSigFromRIRDataset)")
+    p.add_argument("--sim-rir-dir", type=str, default=None,
+                   help="simulated-RIR tree (gen_simu --mode rir): the sim "
+                        "arm of the on-the-fly real/sim mixture "
+                        "(reference dataset.py:287-382)")
     p.add_argument("--src-dir", type=str, default=None,
                    help="speaker-tree source corpus for --rir-dir")
+    p.add_argument("--real-sig-dir", type=str, default=None,
+                   help="presaved real wav tree with train/val/test subdirs "
+                        "(LOCATA-materialized); mixes with --sim-sig-dir "
+                        "per --real-sim-ratio (reference "
+                        "RandomMicSigDataset, dataset.py:232-285)")
+    p.add_argument("--sim-sig-dir", type=str, default=None,
+                   help="presaved simulated wav tree, the sim arm for "
+                        "--real-sig-dir training mixes")
+    p.add_argument("--real-sim-ratio", type=int, nargs=2, default=(1, 1),
+                   metavar=("REAL", "SIM"),
+                   help="training-arm mix: 1 0 real only, 0 1 sim only, "
+                        "1 1 50/50 (reference opt.py:195-233); val/test "
+                        "always use the real arm when one exists")
+    p.add_argument("--real-exp", action="store_true",
+                   help="use the reference real-world grids: bs 16, "
+                        "lr {1e-3,1e-4}, per-task training counts "
+                        "(TDOA 80,000; opt.py:216-256)")
     p.add_argument("--exp-dir", type=str, default="exp/downstream")
     p.add_argument("--ds-nsimroom", type=int, default=8)
     p.add_argument("--epochs", type=int, default=200)
@@ -109,10 +130,19 @@ def main(argv=None):
 
     cfg = DownstreamConfig(task=args.ds_task, train_mode=args.ds_trainmode,
                            nsimroom=args.ds_nsimroom, nepoch=args.epochs)
-    lr_set = args.lr_set or list(cfg.lr_set)
-    bs_set = args.bs_set or list(cfg.bs_set)
-    ntrial = args.ntrial or cfg.ntrial
-    train_num = args.train_num or cfg.train_num
+    if args.real_exp:
+        from ..config import real_ds_setting
+        rs = real_ds_setting(args.ds_task, args.ds_trainmode,
+                             args.real_sim_ratio)
+        lr_set = args.lr_set or rs["lr_set"]
+        bs_set = args.bs_set or rs["bs_set"]
+        ntrial = args.ntrial or rs["ntrial"]
+        train_num = args.train_num or rs["num"]
+    else:
+        lr_set = args.lr_set or list(cfg.lr_set)
+        bs_set = args.bs_set or list(cfg.bs_set)
+        ntrial = args.ntrial or cfg.ntrial
+        train_num = args.train_num or cfg.train_num
 
     fs = 16000
     T = args.T or cfg.T
@@ -179,15 +209,61 @@ def main(argv=None):
             assert bs % pc == 0, (bs, pc)
             bs = bs // pc
             seed = seed + pi * 7919
-        if args.rir_dir:
-            from ..data import (NpyRIRDataset, MicSigFromRIRDataset,
-                                SpeakerTreeDataset)
+        ratio = tuple(int(r) for r in args.real_sim_ratio)
+        if args.real_sig_dir:
+            # presaved real/sim mixture (reference RandomMicSigDataset,
+            # dataset.py:232-285): train mixes per ratio, val/test are real
+            from ..data import FixMicSigDatasetLOCATA, RandomMixDataset
             num = {"train": train_num, "val": args.val_num,
                    "test": args.test_num}[split] // pc
-            rirs = NpyRIRDataset(args.rir_dir, fs=fs)
+            tr = [Selecting((0, nsample))]
+            arms = []
+            if split == "train" and ratio[1]:
+                assert args.sim_sig_dir, (
+                    "--real-sim-ratio includes a sim arm: pass --sim-sig-dir")
+                arms.append(FixMicSigDataset(args.sim_sig_dir, load_anno=True,
+                                             transforms=tr))
+            if ratio[0] or split != "train":
+                arms.append(FixMicSigDatasetLOCATA(
+                    os.path.join(args.real_sig_dir, split), load_anno=True,
+                    transforms=tr))
+            ds = RandomMixDataset(arms, length=num, seed=seed * 13 + 5)
+            return batch_iterator(ds, bs, shuffle=False,
+                                  num_workers=args.workers)
+        if args.rir_dir or args.sim_rir_dir:
+            # on-the-fly speech x RIR, real and/or simulated arms (reference
+            # RandomMicSigFromRIRDataset, dataset.py:287-382)
+            from ..data import (NpyRIRDataset, SimRIRDataset,
+                                MicSigFromRIRDataset, SpeakerTreeDataset,
+                                RandomMixDataset)
+            num = {"train": train_num, "val": args.val_num,
+                   "test": args.test_num}[split] // pc
             srcs = SpeakerTreeDataset(args.src_dir, T=T, fs=fs)
-            ds = MicSigFromRIRDataset(rirs, srcs, T=T, fs=fs,
-                                      seed=seed * 7 + 1, length=num)
+
+            def real_arm(s):
+                return MicSigFromRIRDataset(
+                    NpyRIRDataset(args.rir_dir, fs=fs), srcs, T=T, fs=fs,
+                    seed=s, length=num)
+
+            def sim_arm(s):
+                return MicSigFromRIRDataset(
+                    SimRIRDataset(args.sim_rir_dir, fs=fs), srcs, T=T, fs=fs,
+                    seed=s, length=num, noise_type="diffuse_white")
+
+            arms = []
+            if split == "train":
+                if ratio[0] and args.rir_dir:
+                    arms.append(real_arm(seed * 7 + 1))
+                if ratio[1] and args.sim_rir_dir:
+                    arms.append(sim_arm(seed * 7 + 2))
+            else:  # val/test on the real arm when it exists
+                arms.append(real_arm(seed * 7 + 1) if args.rir_dir
+                            else sim_arm(seed * 7 + 2))
+            assert arms, ("--real-sim-ratio excludes every provided RIR arm "
+                          f"(ratio {ratio}, rir_dir={bool(args.rir_dir)}, "
+                          f"sim_rir_dir={bool(args.sim_rir_dir)})")
+            ds = (arms[0] if len(arms) == 1 else
+                  RandomMixDataset(arms, length=num, seed=seed * 13 + 5))
             return batch_iterator(ds, bs, shuffle=split == "train",
                                   seed=seed, num_workers=args.workers)
         if args.synthetic:

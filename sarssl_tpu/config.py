@@ -53,6 +53,32 @@ REAL_BS_SET = (16,)
 # so the policy has one source of truth
 SIM_ROOM_TRIALS = {n: max(1, round(32 / n)) for n in (2, 4, 8, 16, 32, 64, 128, 256)}
 
+# Real-world downstream training-set sizes by (train_mode, real_sim_ratio)
+# for the non-TDOA tasks; TDOA always uses 80,000 (opt.py:216-256).
+_REAL_NUM = {
+    "finetune":   {(1, 0): 1600, (1, 1): 3200, (0, 1): 32000},
+    "scratchlow": {(1, 0): 1600, (1, 1): 16000, (0, 1): 32000},
+}
+
+
+def real_ds_setting(task: str, train_mode: str,
+                    real_sim_ratio: Sequence[int] = (1, 1)) -> Dict:
+    """The reference's real-world ``ds_setting`` entry (opt.py:216-256):
+    bs 16, lr {1e-3, 1e-4}, 200 epochs, 1 trial, and the per-task training
+    count — TDOA 80,000; others by train mode and real/sim mixing ratio."""
+    ratio = tuple(int(r) for r in real_sim_ratio)
+    assert ratio in ((1, 0), (1, 1), (0, 1)), ratio
+    if task == "TDOA":
+        num = 80_000
+    else:
+        if train_mode not in _REAL_NUM:
+            raise ValueError(
+                f"no real-world training count defined for train mode "
+                f"'{train_mode}' (reference opt.py:235-236 raises too)")
+        num = _REAL_NUM[train_mode][ratio]
+    return {"nepoch": 200, "num": num, "lr_set": list(REAL_LR_SET),
+            "bs_set": list(REAL_BS_SET), "ntrial": 1}
+
 
 @dataclass
 class DownstreamConfig:

@@ -130,6 +130,39 @@ class OnTheFlyMicSigDataset:
         return sig.astype(np.float32), annos
 
 
+class RandomMixDataset:
+    """Probability-mixed view over several datasets — the mixing mechanism
+    of the reference's RandomMicSigDataset (presaved real + sim wav trees)
+    and RandomMicSigFromRIRDataset (real-RIR + sim-RIR on-the-fly arms),
+    /root/reference/code/dataset.py:232-382.
+
+    Unlike the reference (global ``np.random`` per __getitem__), item i is a
+    pure function of (seed, i): a per-index Generator picks the arm and the
+    inner index, so epochs are reproducible and worker-safe."""
+
+    def __init__(self, datasets: Sequence, length: int, seed: int = 1,
+                 probs: Optional[Sequence[float]] = None):
+        assert datasets, "need at least one dataset"
+        self.datasets = list(datasets)
+        self.length = length
+        self.seed = seed
+        if probs is None:
+            probs = [1.0 / len(self.datasets)] * len(self.datasets)
+        p = np.asarray(probs, np.float64)
+        assert len(p) == len(self.datasets) and p.sum() > 0
+        self._cum = np.cumsum(p / p.sum())
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx: int):
+        rng = np.random.default_rng((self.seed, 0x5EED, idx))
+        arm = int(np.searchsorted(self._cum, rng.random(), side="right"))
+        arm = min(arm, len(self.datasets) - 1)
+        d = self.datasets[arm]
+        return d[int(rng.integers(len(d)))]
+
+
 def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
                    seed: int = 0, drop_last: bool = True,
                    num_workers: int = 0) -> Iterator:

@@ -127,21 +127,70 @@ class NpyRIRDataset:
         return self.get(idx)
 
 
+class SimRIRDataset:
+    """Pre-generated *simulated* RIR tree (``gen_simu --mode rir``):
+    ``{idx}_rir.npy`` (nsamp, nmic, nsrc) + ``{idx}_rir_info.npz`` with the
+    exact direct-path RIR ('rir_dp'), geometry and annotations — the
+    reference's simu_dataset.RIRDataset side of RandomMicSigFromRIRDataset
+    (dataset.py:336-356). Speaks the same ``.get`` protocol as
+    NpyRIRDataset (recorded noise is always None)."""
+
+    def __init__(self, data_dir: str, fs: int = 16000):
+        self.fs = fs
+        self.paths = sorted(str(p) for p in Path(data_dir).rglob("*_rir.npy"))
+        assert self.paths, f"no *_rir.npy files under {data_dir}"
+
+    def __len__(self):
+        return len(self.paths)
+
+    @staticmethod
+    def _to_2d(arr: np.ndarray) -> np.ndarray:
+        """(npt, nmic, nsamp, nsrc) reference layout (or legacy 2-D) ->
+        (nsamp, nmic), first trajectory point / first source."""
+        return arr[0, :, :, 0].T if arr.ndim == 4 else arr
+
+    def get(self, idx: int, rng: Optional[np.random.Generator] = None):
+        path = self.paths[idx]
+        rir = self._to_2d(np.load(path).astype(np.float32))
+        info_path = path.replace("_rir.npy", "_rir_info.npz")
+        info: Dict = {}
+        if os.path.exists(info_path):
+            info = dict(np.load(info_path, allow_pickle=True))
+        if "rir_dp" in info:
+            info["rir_dp"] = self._to_2d(np.asarray(info["rir_dp"],
+                                                    np.float32))
+        src_fs = int(info.get("fs", self.fs))
+        if src_fs != self.fs:
+            import scipy.signal
+            rir = scipy.signal.resample_poly(rir, self.fs, src_fs, axis=0)
+            if "rir_dp" in info:
+                info["rir_dp"] = scipy.signal.resample_poly(
+                    info["rir_dp"], self.fs, src_fs, axis=0)
+        return rir, info, None
+
+    def __getitem__(self, idx: int):
+        return self.get(idx)
+
+
 class MicSigFromRIRDataset:
-    """On-the-fly speech x real-RIR synthesis with annotations.
+    """On-the-fly speech x RIR synthesis with annotations.
 
     Matches the reference RandomMicSigFromRIRDataset semantics
     (dataset.py:287-382): per-index seeding, random RIR + random source,
-    matched recorded noise when present (else optional white noise), SNR in
-    snr_range vs direct-path power, peak norm x0.9, and
-    {T60, DRR, C50, ABS} annotations computed from the RIR.
+    matched recorded noise when present (else the ``noise_type`` generator,
+    the reference sim arm's diffuse_white NoiseSignal), SNR in snr_range vs
+    direct-path power, peak norm x0.9, and {T60, DRR, C50, ABS} annotations
+    computed from the RIR. Works with real (NpyRIRDataset) and simulated
+    (SimRIRDataset) RIR sources; an exact 'rir_dp' in the RIR info replaces
+    the +/-2.5 ms peak-window approximation.
     """
 
-    def __init__(self, rir_dataset: NpyRIRDataset, source_dataset,
+    def __init__(self, rir_dataset, source_dataset,
                  T: float = 4.112, fs: int = 16000,
                  snr_range: Tuple[float, float] = (15.0, 30.0),
                  seed: int = 1, length: int = 10000,
-                 room_sz_for_abs: Optional[np.ndarray] = None):
+                 room_sz_for_abs: Optional[np.ndarray] = None,
+                 noise_type: str = ""):
         self.rirs = rir_dataset
         self.sources = source_dataset
         self.T = T
@@ -150,6 +199,7 @@ class MicSigFromRIRDataset:
         self.seed = seed
         self.length = length
         self.room_sz_for_abs = room_sz_for_abs
+        self.noise_type = noise_type  # '' | 'diffuse_white' | 'spatial_white'
 
     def __len__(self):
         return self.length
@@ -164,13 +214,21 @@ class MicSigFromRIRDataset:
             rir, info, rec_noise = self.rirs[ridx]
         src = self.sources.sample(rng)[:, 0]
 
+        dp_rir = info.get("rir_dp")
+        dp_rir = (np.asarray(dp_rir, np.float32) if dp_rir is not None
+                  else dp_from_rir(rir, self.fs))
         mic = fftconvolve(src[:, None], rir, axes=0)[:nsample]
-        dp = fftconvolve(src[:, None], dp_from_rir(rir, self.fs),
-                         axes=0)[:nsample]
+        dp = fftconvolve(src[:, None], dp_rir, axes=0)[:nsample]
 
         if rec_noise is not None and rec_noise.shape[0] >= nsample:
             st = int(rng.integers(0, rec_noise.shape[0] - nsample + 1))
             noi = rec_noise[st: st + nsample, : mic.shape[1]]
+        elif self.noise_type == "diffuse_white" and "mic_pos" in info:
+            noi = noise_mod.diffuse_noise(rng, nsample,
+                                          np.asarray(info["mic_pos"]),
+                                          self.fs)
+        elif self.noise_type in ("diffuse_white", "spatial_white"):
+            noi = noise_mod.spatial_white(rng, nsample, mic.shape[1])
         else:
             noi = np.zeros_like(mic)
         snr = float(rng.uniform(*self.snr_range))
@@ -181,13 +239,14 @@ class MicSigFromRIRDataset:
         mic = (mic / peak * 0.9).astype(np.float32)
 
         rir4 = rir.T[None, :, :, None]  # (1, nmic, nsamp, 1)
-        dp4 = dp_from_rir(rir, self.fs).T[None, :, :, None]
+        dp4 = dp_rir.T[None, :, :, None]
         t60, _ = t60_from_rir(rir[:, 0], self.fs)
         annos = {
-            "T60": np.float32(info.get("T60", t60)),
+            "T60": np.float32(info.get("T60_edc", info.get("T60", t60))),
             "DRR": np.float32(drr(rir4, dp4, self.fs)[0, 0]),
             "C50": np.float32(c50(rir4, dp4, self.fs)[0, 0]),
-            "TDOA": np.float32(info.get("TDOA", np.nan)),
+            "TDOA": np.float32(np.ravel(info["TDOA"])[0]
+                               if "TDOA" in info else np.nan),
             "SNR": np.float32(snr),
         }
         room_sz = info.get("room_sz", self.room_sz_for_abs)

@@ -38,18 +38,13 @@ class SceneSynthesizer:
     # (utils_simu_rir_sig.py:1026-1041; 'src_webrtc' needs webrtcvad which
     # is not in this environment)
 
-    def generate(self, seed: int,
-                 source_fn: Optional[Callable[[np.random.Generator, int], np.ndarray]] = None,
-                 scene_cfg: Optional[Dict] = None) -> Tuple[np.ndarray, Dict]:
-        """Returns (mic_sig (nsample, nmic) float32, info dict incl. annos).
-
-        source_fn(rng, nsample) -> (nsample, nsrc) source waveforms; defaults
-        to AR-colored Gaussian noise (a WSJ0 reader can be plugged in).
-        """
-        rng = np.random.default_rng(seed)
+    def _valid_rir(self, rng: np.random.Generator,
+                   scene_cfg: Optional[Dict] = None):
+        """Regenerate-until-valid RIR + direct-path RIR. Returns
+        (cfg, rir, rir_dp); cfg gains 'T60_edc'. The rng call sequence is
+        exactly the one ``generate`` always made (byte-determinism of
+        existing corpora is pinned by test)."""
         fs, c = self.cfg.fs, self.cfg.c
-        nsample = int(self.T * fs)
-
         for attempt in range(self.max_regen):
             cfg = scene_cfg or sample_acoustic_scene(rng, self.cfg)
             rir = ism.simulate_rir(cfg["room_sz"], cfg["beta"],
@@ -70,6 +65,42 @@ class SceneSynthesizer:
         else:
             raise RuntimeError("could not generate a valid RIR")
         cfg["T60_edc"] = t60_edc
+        return cfg, rir, rir_dp
+
+    def generate_rir(self, seed: int,
+                     scene_cfg: Optional[Dict] = None) -> Tuple[np.ndarray, Dict]:
+        """RIR-only generation (reference gen_simu 'rir' mode): returns
+        (rir (nsamp, nmic, nsrc) float32, info) where info carries the
+        direct-path RIR ('rir_dp'), geometry and the source-independent
+        annotations (T60/DRR/C50/ABS/TDOA/DOA...)."""
+        rng = np.random.default_rng(seed)
+        fs, c = self.cfg.fs, self.cfg.c
+        cfg, rir, rir_dp = self._valid_rir(rng, scene_cfg)
+        annos = annotate_scene(cfg, rir, rir_dp, fs, c)
+        info = {"rir_dp": rir_dp.astype(np.float32), "fs": np.int32(fs),
+                "T60_specify": cfg["T60_specify"],
+                "T60_sabine": cfg["T60_sabine"], "T60_edc": cfg["T60_edc"],
+                "room_sz": np.asarray(cfg["room_sz"], np.float32),
+                "mic_pos": cfg["mic_pos"].astype(np.float32),
+                "array_pos": cfg["array_pos"].astype(np.float32),
+                "src_traj_pts": cfg["src_traj_pts"].astype(np.float32),
+                **annos}
+        return rir.astype(np.float32), info
+
+    def generate(self, seed: int,
+                 source_fn: Optional[Callable[[np.random.Generator, int], np.ndarray]] = None,
+                 scene_cfg: Optional[Dict] = None) -> Tuple[np.ndarray, Dict]:
+        """Returns (mic_sig (nsample, nmic) float32, info dict incl. annos).
+
+        source_fn(rng, nsample) -> (nsample, nsrc) source waveforms; defaults
+        to AR-colored Gaussian noise (a WSJ0 reader can be plugged in).
+        """
+        rng = np.random.default_rng(seed)
+        fs, c = self.cfg.fs, self.cfg.c
+        nsample = int(self.T * fs)
+
+        cfg, rir, rir_dp = self._valid_rir(rng, scene_cfg)
+        t60_edc = cfg["T60_edc"]
 
         nsrc = cfg["src_traj_pts"].shape[-1]
         if source_fn is None:
