@@ -83,6 +83,10 @@ def build_parser():
     p.add_argument("--val-num", type=int, default=1000)
     p.add_argument("--test-num", type=int, default=4000)
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--mp-loader", action="store_true",
+                   help="process-pool loader for the on-the-fly RIR paths "
+                        "(CPU-bound synthesis scales past the GIL; "
+                        "replaces torch DataLoader workers)")
     p.add_argument("--nmic", type=int, default=2,
                    help="microphone count; > 2 builds the multi-pair "
                         "SARSSLMultiCH head (reference model.py:793-821)")
@@ -152,7 +156,10 @@ def main(argv=None):
 
     if args.data_dir and not args.smoke:
         from ..data import FixMicSigDataset as _F
-        probe = _F(args.data_dir, data_num=1)[0]
+        from ..data import PackedDataset, is_packed
+        probe = (PackedDataset(args.data_dir, load_anno=False)[0]
+                 if is_packed(args.data_dir)
+                 else _F(args.data_dir, data_num=1)[0])
         assert probe.shape[0] >= nsample, (
             f"data under {args.data_dir} has {probe.shape[0]} samples but "
             f"task '{args.ds_task}' expects >= {nsample} ({T} s @ {fs} Hz); "
@@ -264,6 +271,11 @@ def main(argv=None):
                           f"sim_rir_dir={bool(args.sim_rir_dir)})")
             ds = (arms[0] if len(arms) == 1 else
                   RandomMixDataset(arms, length=num, seed=seed * 13 + 5))
+            if args.mp_loader and args.workers > 0:
+                from ..data import mp_batch_iterator
+                return mp_batch_iterator(ds, bs, shuffle=split == "train",
+                                         seed=seed,
+                                         num_workers=args.workers)
             return batch_iterator(ds, bs, shuffle=split == "train",
                                   seed=seed, num_workers=args.workers)
         if args.synthetic:
@@ -284,6 +296,20 @@ def main(argv=None):
         data_dir = {"train": args.data_dir,
                     "val": args.val_data_dir or args.data_dir,
                     "test": args.test_data_dir or args.data_dir}[split]
+        from ..data import is_packed
+        if is_packed(data_dir):
+            import itertools
+            from ..data import PackedDataset
+            pds = PackedDataset(data_dir)
+            num = {"train": train_num, "val": args.val_num,
+                   "test": args.test_num}[split]
+
+            def gen_packed():
+                it = pds.iter_batches(bs, shuffle=split == "train",
+                                      seed=seed, shard_i=pi, shard_n=pc)
+                for w, lab in itertools.islice(it, max(1, num // (bs * pc))):
+                    yield w[:, :nsample], lab
+            return gen_packed()
         ds = FixMicSigDataset(data_dir, load_anno=True,
                               transforms=[Selecting((0, nsample))])
         if pc > 1:  # strided per-host corpus shard

@@ -257,6 +257,18 @@ def main(argv=None):
             return gen.batches(local_bs, max(1, num // args.bs))
         data_dir = args.data_dir if split == "train" else (
             args.val_data_dir or args.data_dir)
+        from ..data import is_packed
+        if is_packed(data_dir):
+            # packed shards (cli/pack_data.py): one memmap gather per batch
+            # sustains chip rate on a single host core (data/shards.py)
+            import itertools
+            from ..data import PackedDataset
+            pds = PackedDataset(data_dir, load_anno=False)
+            num = args.train_num if split == "train" else args.val_num
+            it = pds.iter_batches(local_bs, shuffle=split == "train",
+                                  seed=args.seed + epoch,
+                                  shard_i=pi, shard_n=pc)
+            return itertools.islice(it, max(1, num // args.bs))
         ds = FixMicSigDataset(data_dir, data_num=args.train_num
                               if split == "train" else args.val_num,
                               transforms=[Selecting((0, nsample))])

@@ -3,7 +3,8 @@ from .rooms import AcousticSamplerConfig, sample_acoustic_scene, MIC_ARRAY_2CH
 from .scene import SceneSynthesizer
 from .datasets import (FixMicSigDataset, FixMicSigDatasetLOCATA,
                        OnTheFlyMicSigDataset, RandomMixDataset, Segmenting,
-                       Selecting, batch_iterator)
+                       Selecting, batch_iterator, mp_batch_iterator)
+from .shards import PackedDataset, is_packed, pack_dataset, pack_wav_tree
 from .wavio import read_wav, write_wav, read_audio, audio_info
 from .real import (RealMicSigDataset, RandomRealDataset, CorpusSpec,
                    select_mic_pairs, ARRAY_GEOMETRIES, CORPUS_SPECS)
@@ -25,6 +26,8 @@ __all__ = [
     "SceneSynthesizer",
     "FixMicSigDataset", "FixMicSigDatasetLOCATA", "OnTheFlyMicSigDataset",
     "RandomMixDataset", "Segmenting", "Selecting", "batch_iterator",
+    "mp_batch_iterator",
+    "PackedDataset", "is_packed", "pack_dataset", "pack_wav_tree",
     "read_wav", "write_wav", "read_audio", "audio_info",
     "REAL_CORPORA", "CorpusReader",
 ]

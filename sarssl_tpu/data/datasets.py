@@ -217,3 +217,68 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
             if b is not None:
                 futures.append(pool.map(fetch, b))
             yield collate(items)
+
+
+_MP_DATASET = None
+
+
+def _mp_init(dataset):
+    global _MP_DATASET
+    _MP_DATASET = dataset
+
+
+def _mp_fetch(idx):
+    return _MP_DATASET[int(idx)]
+
+
+def mp_batch_iterator(dataset, batch_size: int, shuffle: bool = True,
+                      seed: int = 0, drop_last: bool = True,
+                      num_workers: int = 4, prefetch_batches: int = 4) -> Iterator:
+    """Process-pool batch iterator for CPU-bound per-index datasets.
+
+    ``batch_iterator``'s thread pool cannot scale item *synthesis* (scene
+    generation, speech x RIR convolution) under the GIL; this is the
+    torch-DataLoader(num_workers=N) replacement for those datasets. The
+    dataset is pickled ONCE per spawned worker (initializer), then only
+    integer indices and finished items cross the pipe. Requires the
+    repo-wide per-index-purity convention: dataset[i] must be a pure
+    function of i, so worker assignment cannot change the data.
+    """
+    import multiprocessing as mp
+
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    if drop_last:
+        order = order[: (n // batch_size) * batch_size]
+    batches = [order[s: s + batch_size]
+               for s in range(0, len(order), batch_size)
+               if len(order[s: s + batch_size]) == batch_size or not drop_last]
+
+    def collate(items):
+        first = items[0]
+        if isinstance(first, tuple):
+            waves = np.stack([it[0] for it in items])
+            keys = first[1].keys()
+            return waves, {k: np.stack([it[1][k] for it in items])
+                           for k in keys}
+        return np.stack(items)
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(num_workers, initializer=_mp_init,
+                  initargs=(dataset,)) as pool:
+        pending: List = []
+        it = iter(batches)
+        for _ in range(prefetch_batches):
+            b = next(it, None)
+            if b is None:
+                break
+            pending.append(pool.map_async(_mp_fetch, [int(i) for i in b]))
+        while pending:
+            items = pending.pop(0).get()
+            b = next(it, None)
+            if b is not None:
+                pending.append(pool.map_async(_mp_fetch,
+                                              [int(i) for i in b]))
+            yield collate(items)

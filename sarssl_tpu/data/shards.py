@@ -1,0 +1,169 @@
+"""Packed contiguous shards: feeding the chip without per-file decode.
+
+The reference feeds its GPU one decoded wav per DataLoader item
+(/root/reference/code/run_pretrain.py:191-199, num_workers=8). Measured on
+this host (scripts/README.md), that path delivers ~82 utt/s/core decoded —
+an order of magnitude short of the ~800 utt/s single-chip step rate, and
+thread workers cannot scale it under the GIL.
+
+This module replaces it with a TPU-host-native format: utterances packed
+into contiguous float32 ``shard_%05d.npy`` arrays of shape
+(n, nsample, nch) plus per-shard ``shard_%05d_annos.npz`` label columns and
+a ``packed_meta.json``. Reading a batch is then one (page-cached) memmap
+gather — no open/parse/decode per item — and a single host core sustains
+thousands of utterances per second (scripts/bench_host_pipeline.py
+--packed). ``pack_wav_tree`` converts a generated corpus once;
+``PackedDataset.iter_batches`` streams batches, with pod-sharding hooks
+matching parallel/hostdata.py's equal-shard contract.
+"""
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+META_NAME = "packed_meta.json"
+
+
+def is_packed(data_dir: str) -> bool:
+    return os.path.exists(os.path.join(data_dir, META_NAME))
+
+
+def pack_dataset(dataset, out_dir: str, items_per_shard: int = 512,
+                 dtype: str = "float32") -> Dict:
+    """Pack any indexable dataset yielding ``wave`` or ``(wave, annos)``
+    into contiguous shards. Returns the written meta dict."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(dataset)
+    assert n > 0
+    first = dataset[0]
+    with_annos = isinstance(first, tuple)
+    wave0 = first[0] if with_annos else first
+    nsample, nch = wave0.shape
+    anno_keys = sorted(first[1].keys()) if with_annos else []
+
+    nshards = -(-n // items_per_shard)
+    for s in range(nshards):
+        lo, hi = s * items_per_shard, min((s + 1) * items_per_shard, n)
+        waves = np.empty((hi - lo, nsample, nch), dtype)
+        annos = {k: [] for k in anno_keys}
+        for j, i in enumerate(range(lo, hi)):
+            item = dataset[i]
+            w = item[0] if with_annos else item
+            assert w.shape == (nsample, nch), (
+                f"item {i} shape {w.shape} != {(nsample, nch)}; pack only "
+                "fixed-length corpora (crop with a Selecting transform)")
+            waves[j] = w
+            if with_annos:
+                for k in anno_keys:
+                    annos[k].append(np.asarray(item[1][k], np.float32))
+        np.save(os.path.join(out_dir, f"shard_{s:05d}.npy"), waves)
+        if with_annos:
+            np.savez(os.path.join(out_dir, f"shard_{s:05d}_annos.npz"),
+                     **{k: np.stack(v) for k, v in annos.items()})
+    meta = {"n": n, "nsample": int(nsample), "nch": int(nch),
+            "items_per_shard": items_per_shard, "nshards": nshards,
+            "dtype": dtype, "anno_keys": anno_keys}
+    with open(os.path.join(out_dir, META_NAME), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+def pack_wav_tree(data_dir: str, out_dir: str, nsample: Optional[int] = None,
+                  load_anno: bool = True, items_per_shard: int = 512,
+                  data_num: Optional[int] = None) -> Dict:
+    """Pack a generated wav(+info npz) tree (gen_simu layout)."""
+    from .datasets import FixMicSigDataset, Selecting
+
+    tr = [Selecting((0, nsample))] if nsample else []
+    ds = FixMicSigDataset(data_dir, load_anno=load_anno, data_num=data_num,
+                          transforms=tr)
+    return pack_dataset(ds, out_dir, items_per_shard)
+
+
+class PackedDataset:
+    """Reader for a packed-shard directory.
+
+    ``__getitem__`` serves the generic dataset protocol (wave or
+    (wave, annos)); ``iter_batches`` is the fast path — one fancy-indexed
+    memmap read per batch, annotations gathered from RAM-resident columns.
+    """
+
+    def __init__(self, data_dir: str, load_anno: Optional[bool] = None):
+        with open(os.path.join(data_dir, META_NAME)) as f:
+            self.meta = json.load(f)
+        self.dir = data_dir
+        self.n = self.meta["n"]
+        self.ips = self.meta["items_per_shard"]
+        self._mm: Dict[int, np.ndarray] = {}
+        self.anno_keys = list(self.meta["anno_keys"])
+        self.load_anno = (bool(self.anno_keys) if load_anno is None
+                          else load_anno)
+        if self.load_anno:
+            assert self.anno_keys, f"{data_dir} was packed without annos"
+        self._annos: Optional[Dict[str, np.ndarray]] = None
+
+    def __len__(self):
+        return self.n
+
+    def _shard(self, s: int) -> np.ndarray:
+        if s not in self._mm:
+            self._mm[s] = np.load(
+                os.path.join(self.dir, f"shard_{s:05d}.npy"), mmap_mode="r")
+        return self._mm[s]
+
+    def annos(self) -> Dict[str, np.ndarray]:
+        """All label columns, concatenated in index order (RAM-resident)."""
+        if self._annos is None:
+            cols = {k: [] for k in self.anno_keys}
+            for s in range(self.meta["nshards"]):
+                z = np.load(os.path.join(self.dir,
+                                         f"shard_{s:05d}_annos.npz"))
+                for k in self.anno_keys:
+                    cols[k].append(z[k])
+            self._annos = {k: np.concatenate(v) for k, v in cols.items()}
+        return self._annos
+
+    def __getitem__(self, idx: int):
+        s, j = divmod(int(idx), self.ips)
+        wave = np.array(self._shard(s)[j], np.float32)
+        if not self.load_anno:
+            return wave
+        a = self.annos()
+        return wave, {k: np.float32(a[k][idx]) for k in self.anno_keys}
+
+    def iter_batches(self, batch_size: int, shuffle: bool = False,
+                     seed: int = 0, drop_last: bool = True,
+                     shard_i: int = 0, shard_n: int = 1) -> Iterator:
+        """Stream (wave (nb, nsample, nch)[, labels]) batches.
+
+        shard_i/shard_n: pod-scale host sharding — host i reads rows
+        i::n of the (shuffled) order, trimmed so every host yields the
+        same number of equal-size batches (parallel/hostdata.py contract).
+        """
+        order = np.arange(self.n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        chunk = batch_size * shard_n
+        if drop_last:
+            order = order[: (len(order) // chunk) * chunk]
+        order = order[shard_i::shard_n]
+        a = self.annos() if self.load_anno else None
+        for lo in range(0, len(order), batch_size):
+            idxs = order[lo: lo + batch_size]
+            if len(idxs) < batch_size and drop_last:
+                break
+            idxs = np.sort(idxs)  # sorted gather: sequential page access
+            waves = np.empty((len(idxs), self.meta["nsample"],
+                              self.meta["nch"]), np.float32)
+            s_of = idxs // self.ips
+            for s in np.unique(s_of):
+                sel = s_of == s
+                waves[sel] = self._shard(int(s))[idxs[sel] - s * self.ips]
+            if a is None:
+                yield waves
+            else:
+                yield waves, {k: a[k][idxs] for k in self.anno_keys}

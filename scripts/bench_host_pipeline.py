@@ -32,6 +32,9 @@ def main():
                     help="also device_put each batch and sync")
     ap.add_argument("--keep-dir", type=str, default=None,
                     help="reuse/keep the wav tree at this path")
+    ap.add_argument("--packed", action="store_true",
+                    help="also pack the tree once and measure "
+                         "PackedDataset.iter_batches (data/shards.py)")
     args = ap.parse_args()
 
     from sarssl_tpu.data import FixMicSigDataset, Selecting, batch_iterator
@@ -77,6 +80,34 @@ def main():
         mbps = rate * nsample * 2 * 4 / 1e6
         print(f"workers={workers:2d} device={bool(put)}: "
               f"{rate:8.1f} utt/s  ({mbps:7.1f} MB/s decoded)")
+
+    if args.packed:
+        from sarssl_tpu.data import PackedDataset, pack_dataset
+
+        pd = d + "_packed"
+        if not os.path.exists(os.path.join(pd, "packed_meta.json")):
+            t0 = time.perf_counter()
+            pack_dataset(ds, pd)
+            print(f"packed once in {time.perf_counter() - t0:.1f} s")
+        pds = PackedDataset(pd, load_anno=False)
+        for label, shuffle in (("sequential", False), ("shuffled", True)):
+            for rep in range(2):  # rep 2 runs warm from the page cache
+                t0 = time.perf_counter()
+                n = 0
+                last = None
+                for batch in pds.iter_batches(args.bs, shuffle=shuffle, seed=1):
+                    if put is not None:
+                        last = put(batch)
+                    n += batch.shape[0]
+                if last is not None:
+                    np.asarray(last)[0, 0, 0]
+                dt = time.perf_counter() - t0
+                rate = n / dt
+                mbps = rate * nsample * 2 * 4 / 1e6
+                print(f"packed {label} rep{rep} device={bool(put)}: "
+                      f"{rate:8.1f} utt/s  ({mbps:7.1f} MB/s)")
+        if args.keep_dir is None:
+            shutil.rmtree(pd, ignore_errors=True)
 
     if args.keep_dir is None:
         shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,124 @@
+"""Packed-shard host pipeline (data/shards.py) and the process-pool loader:
+round-trip vs the source dataset, batch streaming, pod sharding, CLI."""
+import os
+
+import numpy as np
+import pytest
+
+from sarssl_tpu.data import (PackedDataset, is_packed, pack_dataset,
+                             mp_batch_iterator)
+
+
+class _Toy:
+    """Deterministic labeled dataset: item i = (wave_i, {'T60': i/10})."""
+
+    def __init__(self, n=37, nsample=640, nch=2, labeled=True):
+        self.n, self.nsample, self.nch, self.labeled = n, nsample, nch, labeled
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(1000 + i)
+        w = rng.standard_normal((self.nsample, self.nch)).astype(np.float32)
+        if not self.labeled:
+            return w
+        return w, {"T60": np.float32(i / 10), "TDOA": np.float32(-i)}
+
+
+def test_pack_roundtrip_and_batches(tmp_path):
+    src = _Toy()
+    d = str(tmp_path / "packed")
+    meta = pack_dataset(src, d, items_per_shard=8)
+    assert is_packed(d)
+    assert meta["n"] == 37 and meta["nshards"] == 5
+    assert meta["anno_keys"] == ["T60", "TDOA"]
+
+    pds = PackedDataset(d)
+    assert len(pds) == 37
+    # item-level round trip across shard boundaries
+    for i in (0, 7, 8, 36):
+        w, a = pds[i]
+        w0, a0 = src[i]
+        np.testing.assert_array_equal(w, w0)
+        assert a["T60"] == a0["T60"] and a["TDOA"] == a0["TDOA"]
+
+    # batch streaming covers every index exactly once (shuffled, drop_last)
+    seen = []
+    for w, lab in pds.iter_batches(4, shuffle=True, seed=3):
+        assert w.shape == (4, 640, 2) and lab["T60"].shape == (4,)
+        # labels line up with waves (T60 encodes the index)
+        for j in range(4):
+            idx = int(round(float(lab["T60"][j]) * 10))
+            np.testing.assert_array_equal(w[j], src[idx][0])
+        seen += [int(round(float(x) * 10)) for x in lab["T60"]]
+    assert len(seen) == 36 and len(set(seen)) == 36
+
+    # deterministic order per seed
+    a1 = [lab["TDOA"].tolist()
+          for _, lab in pds.iter_batches(4, shuffle=True, seed=3)]
+    a2 = [lab["TDOA"].tolist()
+          for _, lab in pds.iter_batches(4, shuffle=True, seed=3)]
+    assert a1 == a2
+
+
+def test_pack_unlabeled_and_pod_sharding(tmp_path):
+    src = _Toy(n=32, labeled=False)
+    d = str(tmp_path / "p")
+    pack_dataset(src, d, items_per_shard=10)
+    pds = PackedDataset(d)
+    assert pds.load_anno is False
+
+    # pod contract: 4 hosts x bs 4 -> disjoint equal shards covering 32 rows
+    all_rows = []
+    counts = []
+    for pi in range(4):
+        rows = list(pds.iter_batches(4, shuffle=True, seed=9,
+                                     shard_i=pi, shard_n=4))
+        counts.append(len(rows))
+        for b in rows:
+            assert b.shape == (4, 640, 2)
+            all_rows.append(b)
+    assert len(set(counts)) == 1  # equal batch counts -> no pod deadlock
+    stacked = np.concatenate(all_rows)
+    assert stacked.shape[0] == 32
+    # all rows distinct (first-sample fingerprint)
+    fps = {float(stacked[i, 0, 0]) for i in range(32)}
+    assert len(fps) == 32
+
+
+def test_pack_wav_tree_cli(tmp_path):
+    from sarssl_tpu.cli.pack_data import main as pack_main
+    from sarssl_tpu.data.wavio import write_wav
+
+    d = tmp_path / "tree"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        write_wav(str(d / f"{i}.wav"),
+                  (rng.standard_normal((800, 2)) * 0.1).astype(np.float32),
+                  16000)
+        np.savez(str(d / f"{i}_info.npz"), T60=np.float32(0.3 + i / 100),
+                 TDOA=np.float32(1e-4 * i))
+    out = str(tmp_path / "packed")
+    rc = pack_main(["--data-dir", str(d), "--out", out, "--nsample", "640"])
+    assert rc == 0
+    pds = PackedDataset(out)
+    w, a = pds[2]
+    assert w.shape == (640, 2)
+    assert a["T60"] == pytest.approx(0.32)
+
+
+def test_mp_batch_iterator_matches_thread_loader():
+    """Process-pool loader yields the same multiset of items as the
+    in-process iterator for a pure per-index dataset."""
+    src = _Toy(n=12, nsample=64)
+    got = list(mp_batch_iterator(src, 4, shuffle=True, seed=5,
+                                 num_workers=2))
+    assert len(got) == 3
+    tags = sorted(int(-t) for _, lab in got for t in lab["TDOA"])
+    assert tags == list(range(12))
+    for w, lab in got:
+        for j in range(4):
+            idx = int(-float(lab["TDOA"][j]))
+            np.testing.assert_array_equal(w[j], src[idx][0])
