@@ -336,19 +336,23 @@ def main(argv=None):
             tmask = trainable_mask_from_loaded(state.params, keys)
         b_sh = None
         if args.mesh:
-            from ..parallel import make_mesh, make_sharded_downstream_step
+            from ..parallel import (make_mesh, make_sharded_downstream_step,
+                                    make_sharded_downstream_eval_step)
             d, mm = map(int, args.mesh.split("x"))
             mesh = make_mesh(n_data=d, n_model=mm)
             train_step, st_sh, b_sh = make_sharded_downstream_step(
                 model, feat_cfg, mesh, state, task=args.ds_task, donate=False,
                 trainable_mask=tmask, dlabel=dlabel)
+            eval_step, _ = make_sharded_downstream_eval_step(
+                model, feat_cfg, mesh, state, task=args.ds_task,
+                dlabel=dlabel)
             state = jax.device_put(state, st_sh)
         else:
             train_step = make_downstream_step(
                 model, feat_cfg, task=args.ds_task, donate=False,
                 trainable_mask=tmask, dlabel=dlabel)
-        eval_step = make_downstream_eval_step(model, feat_cfg,
-                                              task=args.ds_task, dlabel=dlabel)
+            eval_step = make_downstream_eval_step(
+                model, feat_cfg, task=args.ds_task, dlabel=dlabel)
 
         def batch_adapter(it):
             for wave, gt in it:

@@ -158,16 +158,19 @@ def main(argv=None):
 
     mesh = None
     if args.mesh:
-        from ..parallel import make_mesh, make_sharded_pretrain_step
+        from ..parallel import (make_mesh, make_sharded_pretrain_step,
+                                make_sharded_pretrain_eval_step)
         d, m = map(int, args.mesh.split("x"))
         mesh = make_mesh(n_data=d, n_model=m)
         train_step, st_sh, b_sh = make_sharded_pretrain_step(
             model, feat_cfg, mesh, state, trainable_mask=trainable_mask)
+        eval_step, _ = make_sharded_pretrain_eval_step(
+            model, feat_cfg, mesh, state)
         state = jax.device_put(state, st_sh)
     else:
         train_step = make_pretrain_step(model, feat_cfg,
                                         trainable_mask=trainable_mask)
-    eval_step = make_pretrain_eval_step(model, feat_cfg)
+        eval_step = make_pretrain_eval_step(model, feat_cfg)
 
     learner = PretrainLearner(
         state=state, train_step=train_step, eval_step=eval_step,

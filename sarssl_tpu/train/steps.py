@@ -69,7 +69,8 @@ def make_pretrain_step(model, feat_cfg: FeatureConfig, mask_mode: str = "T",
                    donate_argnums=(0,) if donate else ())
 
 
-def make_pretrain_eval_step(model, feat_cfg: FeatureConfig, mask_mode: str = "T"):
+def pretrain_eval_body(model, feat_cfg: FeatureConfig, mask_mode: str = "T"):
+    """Un-jitted eval body (reused by parallel.steps with shardings)."""
     cfg = model.cfg
     nmasked = cfg.effective_nmasked()
 
@@ -82,7 +83,11 @@ def make_pretrain_eval_step(model, feat_cfg: FeatureConfig, mask_mode: str = "T"
             feats, mask, False)
         return {"loss": loss, "diff": diff}
 
-    return jax.jit(step)
+    return step
+
+
+def make_pretrain_eval_step(model, feat_cfg: FeatureConfig, mask_mode: str = "T"):
+    return jax.jit(pretrain_eval_body(model, feat_cfg, mask_mode))
 
 
 def _target_transform(task: str, gt, dlabel: int = 1):
@@ -143,8 +148,10 @@ def make_downstream_step(model, feat_cfg: FeatureConfig, task: str = "TDOA",
                    donate_argnums=(0,) if donate else ())
 
 
-def make_downstream_eval_step(model, feat_cfg: FeatureConfig, task: str = "TDOA",
-                              dlabel: int = 1):
+def downstream_eval_body(model, feat_cfg: FeatureConfig, task: str = "TDOA",
+                         dlabel: int = 1):
+    """Un-jitted eval body (reused by parallel.steps with shardings)."""
+
     def step(state, wave_batch, gt_batch):
         feats = stft_features(wave_batch, feat_cfg)
         tar = _target_transform(task, gt_batch, dlabel)
@@ -158,4 +165,9 @@ def make_downstream_eval_step(model, feat_cfg: FeatureConfig, task: str = "TDOA"
             out["mae_dims"] = jnp.mean(jnp.abs(pred - tar), axis=0)
         return out
 
-    return jax.jit(step)
+    return step
+
+
+def make_downstream_eval_step(model, feat_cfg: FeatureConfig, task: str = "TDOA",
+                              dlabel: int = 1):
+    return jax.jit(downstream_eval_body(model, feat_cfg, task, dlabel))

@@ -129,6 +129,85 @@ def test_sharded_lineareval_freezes_loaded_params():
     assert np.abs(head_b - head_a).max() > 0, "head did not train"
 
 
+def test_sharded_eval_steps_match_single_device():
+    """Mesh-eval loss == single-device eval loss, pretrain and downstream
+    (explicit-sharding eval constructors, VERDICT r2 weak #4)."""
+    from sarssl_tpu.train import make_pretrain_eval_step, make_downstream_eval_step
+    from sarssl_tpu.parallel import (make_sharded_pretrain_eval_step,
+                                     make_sharded_downstream_eval_step)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+
+    model, state = _setup()
+    wave, _ = synth_batch(np.random.default_rng(7), 8, NSAMPLE)
+    wave = jnp.asarray(wave)
+    rng = jax.random.key(9)
+    m1 = make_pretrain_eval_step(model, FEAT)(state, wave, rng)
+    es, b_sh = make_sharded_pretrain_eval_step(model, FEAT, mesh, state)
+    from sarssl_tpu.parallel.steps import state_shardings
+    st_sh = state_shardings(mesh, state)
+    m8 = es(jax.device_put(state, st_sh), jax.device_put(wave, b_sh), rng)
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-5)
+    assert float(m1["diff"]) == pytest.approx(float(m8["diff"]), rel=1e-5)
+
+    model_d, state_d = _setup(pretrain=False)
+    wave, tdoa = synth_batch(np.random.default_rng(8), 8, NSAMPLE)
+    wave = jnp.asarray(wave)
+    gt = jnp.asarray(tdoa / 16000.0)
+    m1 = make_downstream_eval_step(model_d, FEAT, task="TDOA")(
+        state_d, wave, gt)
+    es, b_sh = make_sharded_downstream_eval_step(model_d, FEAT, mesh,
+                                                 state_d, task="TDOA")
+    st_sh = state_shardings(mesh, state_d)
+    m8 = es(jax.device_put(state_d, st_sh), jax.device_put(wave, b_sh),
+            jax.device_put(gt, NamedSharding(mesh, P("data"))))
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-5)
+    assert float(m1["mae"]) == pytest.approx(float(m8["mae"]), rel=1e-5)
+    # per-item outputs stay batch-sharded; values agree with single-device
+    assert m8["pred"].sharding.spec == P("data")
+    np.testing.assert_allclose(np.asarray(m8["pred"]), np.asarray(m1["pred"]),
+                               atol=1e-5)
+
+
+def test_ensemble_on_sharded_state(tmp_path):
+    """The DownstreamLearner checkpoint/ensemble path works when the live
+    state is mesh-sharded: save -> ensemble -> averaged params install."""
+    from sarssl_tpu.train import checkpoint as ckpt
+    from sarssl_tpu.train.learner import DownstreamLearner
+    from sarssl_tpu.parallel.steps import state_shardings
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    model, state = _setup(pretrain=False)
+    step, st_sh, b_sh = make_sharded_downstream_step(model, FEAT, mesh, state,
+                                                     donate=False)
+    from sarssl_tpu.train import make_downstream_eval_step
+    learner = DownstreamLearner(
+        state=jax.device_put(state, st_sh), train_step=step,
+        eval_step=make_downstream_eval_step(model, FEAT),
+        lr_init=1e-3, ckpt_dir=str(tmp_path / "ck"), patience=2)
+
+    wave, tdoa = synth_batch(np.random.default_rng(1), 8, NSAMPLE)
+    wave = jax.device_put(jnp.asarray(wave), b_sh)
+    gt = jax.device_put(jnp.asarray(tdoa / 16000.0),
+                        NamedSharding(mesh, P("data")))
+    for e in range(3):
+        learner.train_epoch([(wave, gt)], jax.random.fold_in(jax.random.key(0), e))
+        learner.end_epoch(1.0 - e * 0.1)  # improving -> 3 best epochs
+    ens = learner.ensemble(k=3)
+    # averaged params equal the mean of the saved epochs
+    p0 = ckpt.load_checkpoint(ckpt.epoch_path(str(tmp_path / "ck"), 0))["params"]
+    p2 = ckpt.load_checkpoint(ckpt.epoch_path(str(tmp_path / "ck"), 2))["params"]
+    from flax import serialization
+    ens_sd = serialization.to_state_dict(jax.device_get(ens))
+    k0 = ens_sd["head_proj"]["kernel"]
+    import numpy as _np
+    p1 = ckpt.load_checkpoint(ckpt.epoch_path(str(tmp_path / "ck"), 1))["params"]
+    want = (_np.asarray(p0["head_proj"]["kernel"])
+            + _np.asarray(p1["head_proj"]["kernel"])
+            + _np.asarray(p2["head_proj"]["kernel"])) / 3
+    _np.testing.assert_allclose(_np.asarray(k0), want, atol=1e-6)
+
+
 def test_host_data_sharding_helpers():
     """Per-host input sharding: disjoint strided splits; global batch
     assembly matches a plain sharded device_put on one process."""
