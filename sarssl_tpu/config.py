@@ -49,9 +49,13 @@ SIM_LR_SET = (1e-3, 5e-4, 1e-4, 5e-5)
 SIM_BS_SET = (8,)
 REAL_LR_SET = (1e-3, 1e-4)
 REAL_BS_SET = (16,)
-# derived from the ntrial rule (opt.py:205-206: max(1, round(32/nsimroom)))
-# so the policy has one source of truth
-SIM_ROOM_TRIALS = {n: max(1, round(32 / n)) for n in (2, 4, 8, 16, 32, 64, 128, 256)}
+def sim_room_ntrial(nsimroom: int) -> int:
+    """The ntrial rule (opt.py:205-206): max(1, round(32/nsimroom)).
+    Single source of truth for SIM_ROOM_TRIALS and DownstreamConfig.ntrial."""
+    return max(1, round(32 / nsimroom))
+
+
+SIM_ROOM_TRIALS = {n: sim_room_ntrial(n) for n in (2, 4, 8, 16, 32, 64, 128, 256)}
 
 # Real-world downstream training-set sizes by (train_mode, real_sim_ratio)
 # for the non-TDOA tasks; TDOA always uses 80,000 (opt.py:216-256).
@@ -98,7 +102,7 @@ class DownstreamConfig:
 
     @property
     def ntrial(self) -> int:
-        return max(1, round(32 / self.nsimroom))
+        return sim_room_ntrial(self.nsimroom)
 
     @property
     def train_num(self) -> int:

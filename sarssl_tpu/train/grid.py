@@ -1,0 +1,215 @@
+"""Vmapped downstream grid: every (trial, lr) cell as one lane of one program.
+
+The reference runs its downstream lr x bs x trial grid strictly sequentially
+(/root/reference/code/run_downstream.py:115-166) — up to 64 separate bs=8
+training runs whose tiny matmuls leave the accelerator mostly idle. Here the
+independent cells become lanes of a single jax.vmap'ed train step: params,
+optimizer moments, BatchNorm stats and the per-cell learning rate all gain a
+leading cell axis, so one step multiplies (ncell x bs)-row batches into the
+MXU instead of bs-row slivers. Per-cell early stopping, the two-stage lr/10
+drop and last-5-best full-state ensembling (learner semantics,
+train/learner.py) run on the host over the stacked state; finished cells are
+frozen with lr=0 lanes (Adam's update is identically zero there) until every
+cell has stopped.
+
+A cell's lane reproduces the sequential run exactly: same init, same data
+stream (keyed by trial), same dropout key chain (keyed by trial/epoch) —
+pinned by tests/test_grid_vmap.py against DownstreamLearner.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .learner import EarlyStopping, smooth_data
+from .steps import downstream_step_body, downstream_eval_body
+from ..ops.features import FeatureConfig
+
+
+def stack_states(states: Sequence):
+    """Stack N identical-structure TrainStates along a new leading axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def slice_state(stacked, i: int):
+    return jax.tree.map(lambda x: x[i], stacked)
+
+
+def make_vmapped_downstream_steps(model, feat_cfg: FeatureConfig,
+                                  task: str = "TDOA", trainable_mask=None,
+                                  dlabel: int = 1):
+    """(train, eval) steps vmapped over the leading cell axis.
+
+    train(states, waves (N,bs,ns,nch), gts (N,bs[,d]), lrs (N,), rngs (N,))
+    eval(states, wave (bs,ns,nch), gt (bs[,d])) — one shared eval batch,
+    evaluated by every cell."""
+    tbody = downstream_step_body(model, feat_cfg, task,
+                                 trainable_mask=trainable_mask, dlabel=dlabel)
+    ebody = downstream_eval_body(model, feat_cfg, task, dlabel=dlabel)
+    train = jax.jit(jax.vmap(tbody))
+    evalf = jax.jit(jax.vmap(ebody, in_axes=(0, None, None)))
+    return train, evalf
+
+
+@dataclass
+class _Cell:
+    lr: float
+    trial: int
+    name: str
+    patience: int
+    lr_drops: int = 0
+    done: bool = False
+    val_raw: List[float] = field(default_factory=list)
+    best_epochs: List[int] = field(default_factory=list)
+    epochs_run: int = 0
+    stopper: EarlyStopping = None
+
+    def __post_init__(self):
+        self.stopper = EarlyStopping(self.patience)
+
+
+class VmappedGridRunner:
+    """Drives the stacked cells through the DownstreamLearner life cycle."""
+
+    def __init__(self, model, feat_cfg: FeatureConfig, init_states: Sequence,
+                 cells: Sequence[Tuple[int, float]], task: str = "TDOA",
+                 dlabel: int = 1, trainable_mask=None, patience: int = 10,
+                 smooth_alpha: float = 0.6, ensemble_k: int = 5):
+        self.train_step, self.eval_step = make_vmapped_downstream_steps(
+            model, feat_cfg, task, trainable_mask, dlabel)
+        self.states = stack_states(list(init_states))
+        self.cells = [
+            _Cell(lr=lr, trial=t, name=f"trial{t}_lr{lr:g}",
+                  patience=patience) for t, lr in cells]
+        self.smooth_alpha = smooth_alpha
+        self.k = ensemble_k
+        self.epoch = 0
+        # epoch -> per-cell host copies of (params, batch_stats)
+        self._buffer: Dict[int, List[Tuple]] = {}
+        self._final_window: Dict[int, List[Tuple]] = {}
+
+    @property
+    def ncell(self) -> int:
+        return len(self.cells)
+
+    @property
+    def all_done(self) -> bool:
+        return all(c.done for c in self.cells)
+
+    def _lrs(self) -> jnp.ndarray:
+        return jnp.asarray([0.0 if c.done else c.lr for c in self.cells],
+                           jnp.float32)
+
+    def train_epoch(self, stacked_batches: Iterable,
+                    epoch_rngs: Sequence) -> Dict[str, np.ndarray]:
+        """stacked_batches yields (waves (N,bs,ns,nch), gts (N,bs[,d]));
+        epoch_rngs: one base PRNG key per cell (the sequential learner's
+        per-epoch tkey), split once per step like learner.train_epoch."""
+        rngs = jnp.stack(list(epoch_rngs))
+        lrs = self._lrs()
+        losses, maes, n = [], [], 0
+        for waves, gts in stacked_batches:
+            split = jax.vmap(jax.random.split)(rngs)  # (N, 2) keys
+            rngs, subs = split[:, 0], split[:, 1]
+            self.states, m = self.train_step(
+                self.states, jnp.asarray(waves), jnp.asarray(gts), lrs, subs)
+            losses.append(m["loss"])
+            maes.append(m["mae"])
+            n += 1
+        loss = np.sum([np.asarray(x) for x in losses], axis=0) / max(n, 1)
+        mae = np.sum([np.asarray(x) for x in maes], axis=0) / max(n, 1)
+        return {"loss": loss, "mae": mae}
+
+    def eval_epoch(self, batches: Iterable) -> Dict[str, np.ndarray]:
+        tot_loss = tot_mae = None
+        n = 0
+        for wave, gt in batches:
+            m = self.eval_step(self.states, jnp.asarray(wave),
+                               jnp.asarray(gt))
+            l, a = np.asarray(m["loss"]), np.asarray(m["mae"])
+            tot_loss = l if tot_loss is None else tot_loss + l
+            tot_mae = a if tot_mae is None else tot_mae + a
+            n += 1
+        return {"loss": tot_loss / max(n, 1), "mae": tot_mae / max(n, 1)}
+
+    def _snapshot(self):
+        params = jax.device_get(self.states.params)
+        bstats = jax.device_get(self.states.batch_stats)
+        per_cell = []
+        for i in range(self.ncell):
+            per_cell.append((jax.tree.map(lambda x: np.asarray(x[i]), params),
+                             jax.tree.map(lambda x: np.asarray(x[i]), bstats)))
+        self._buffer[self.epoch] = per_cell
+
+    def end_epoch(self, val_maes: np.ndarray) -> bool:
+        """Per-cell smoothed early stopping + lr/10 + snapshot bookkeeping.
+        Returns True when every cell has stopped."""
+        self._snapshot()
+        for i, c in enumerate(self.cells):
+            if c.done:
+                continue
+            c.val_raw.append(float(val_maes[i]))
+            smoothed = smooth_data(c.val_raw, self.smooth_alpha)[-1]
+            if c.stopper.update(-smoothed):
+                c.best_epochs.append(self.epoch)
+            c.epochs_run = self.epoch + 1
+            if c.stopper.stopped:
+                if c.lr_drops == 0:
+                    c.lr /= 10.0
+                    c.lr_drops = 1
+                    c.stopper.reset_counter()
+                else:
+                    c.done = True
+                    self._extract_window(i)
+        self.epoch += 1
+        self._prune_buffer()
+        return self.all_done
+
+    def _extract_window(self, i: int):
+        c = self.cells[i]
+        best = c.best_epochs[-1] if c.best_epochs else self.epoch
+        eps = [e for e in range(max(0, best - self.k + 1), best + 1)
+               if e in self._buffer]
+        self._final_window[i] = [self._buffer[e][i] for e in eps]
+
+    def _prune_buffer(self):
+        active_best = [
+            (c.best_epochs[-1] if c.best_epochs else self.epoch)
+            for c in self.cells if not c.done]
+        if not active_best:
+            self._buffer.clear()
+            return
+        keep_from = min(active_best) - (self.k - 1)
+        for e in [e for e in self._buffer if e < keep_from]:
+            del self._buffer[e]
+
+    def finalize(self) -> None:
+        """Extract windows for cells that hit the epoch limit unstopped."""
+        for i, c in enumerate(self.cells):
+            if i not in self._final_window:
+                self._extract_window(i)
+            c.done = True
+
+    def ensembled_states(self):
+        """Uniform-average each cell's window (params AND batch stats, like
+        DownstreamLearner.ensemble) and install into the stacked state."""
+        self.finalize()
+        params_stk, bs_stk = [], []
+        for i in range(self.ncell):
+            win = self._final_window[i]
+            assert win, f"cell {i} has no snapshots"
+            avg_p = jax.tree.map(lambda *xs: np.mean(np.stack(xs), axis=0),
+                                 *[w[0] for w in win])
+            avg_b = jax.tree.map(lambda *xs: np.mean(np.stack(xs), axis=0),
+                                 *[w[1] for w in win])
+            params_stk.append(avg_p)
+            bs_stk.append(avg_b)
+        stacked_p = jax.tree.map(lambda *xs: jnp.stack(xs), *params_stk)
+        stacked_b = jax.tree.map(lambda *xs: jnp.stack(xs), *bs_stk)
+        self.states = self.states.replace(params=stacked_p,
+                                          batch_stats=stacked_b)
+        return self.states

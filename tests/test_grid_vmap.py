@@ -1,0 +1,179 @@
+"""Vmapped downstream grid (train/grid.py): per-cell parity with the
+sequential DownstreamLearner, and the per-cell early-stop/lr-drop/ensemble
+life cycle on the stacked state."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sarssl_tpu.models import SARSSL, SARSSLConfig
+from sarssl_tpu.train import (create_train_state, make_downstream_step,
+                              make_downstream_eval_step)
+from sarssl_tpu.train.learner import DownstreamLearner
+from sarssl_tpu.train.grid import (VmappedGridRunner, slice_state,
+                                   stack_states)
+from sarssl_tpu.data import synth_batch
+
+from tiny import NSAMPLE, FEAT, CFG
+
+
+def _init_state():
+    cfg = SARSSLConfig(**{**CFG.__dict__, "pretrain": False})
+    model = SARSSL(cfg)
+    nf, nt, nreim, nmic = cfg.sig_shape
+    x = jnp.zeros((4, nmic, nf, nt, nreim))
+    return model, create_train_state(model, jax.random.key(0), x, None)
+
+
+def _epoch_data(epoch, nb=4, nbatch=2):
+    rng = np.random.default_rng(100 + epoch)
+    out = []
+    for _ in range(nbatch):
+        w, t = synth_batch(rng, nb, NSAMPLE)
+        out.append((w, (t / 16000.0).astype(np.float32)))
+    return out
+
+
+LRS = (1e-2, 1e-3)
+NEPOCH = 3
+
+
+def test_vmapped_step_exact_and_lanes_independent():
+    """One vmapped step == the sequential step body per lane, bitwise-tight;
+    identical-lr lanes stay identical; different-lr lanes differ."""
+    from sarssl_tpu.train.steps import downstream_step_body
+
+    model, state0 = _init_state()
+    body = jax.jit(downstream_step_body(model, FEAT))
+    w, g = _epoch_data(0, nbatch=1)[0]
+    w, g = jnp.asarray(w), jnp.asarray(g)
+    key = jax.random.key(5)
+
+    runner = VmappedGridRunner(model, FEAT, [state0, state0, state0],
+                               [(0, 1e-2), (0, 1e-2), (0, 1e-3)],
+                               patience=100)
+
+    # sequential reference for lane 0 (split chain mirrors the learner):
+    # forward/loss agree to fp exactness. Raw params after the Adam update
+    # are NOT compared even for one step: elements whose gradient is at
+    # fp-noise level get a +-lr*sign(noise) first step (m/sqrt(v) ~ sign).
+    _, sub = jax.random.split(key)
+    s1, m1 = body(state0, w, g, 1e-2, sub)
+    tm = runner.train_epoch(iter([(np.stack([w, w, w]),
+                                   np.stack([g, g, g]))]), [key, key, key])
+    assert float(m1["loss"]) == pytest.approx(float(tm["loss"][0]), rel=1e-6)
+    assert float(m1["mae"]) == pytest.approx(float(tm["mae"][0]), rel=1e-6)
+    # identical-lr lanes bitwise equal
+    for x, y in zip(jax.tree.leaves(slice_state(runner.states, 0).params),
+                    jax.tree.leaves(slice_state(runner.states, 1).params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # the 1e-3 lane took a different step
+    d = max(np.abs(np.asarray(x) - np.asarray(y)).max()
+            for x, y in zip(
+                jax.tree.leaves(slice_state(runner.states, 0).params),
+                jax.tree.leaves(slice_state(runner.states, 2).params)))
+    assert d > 1e-4
+
+
+def test_vmapped_grid_matches_sequential_behavior():
+    """Multi-epoch: per-cell eval MAE and loss trajectories match the
+    sequential DownstreamLearner. (Raw params are NOT compared after many
+    Adam steps — the 1/sqrt(v) normalization chaotically amplifies
+    reduction-order fp noise; step-level exactness is pinned above.)"""
+    model, state0 = _init_state()
+    key0 = jax.random.key(42)
+
+    seq_maes, seq_losses = [], []
+    for lr in LRS:
+        learner = DownstreamLearner(
+            state=state0, train_step=make_downstream_step(model, FEAT,
+                                                          donate=False),
+            eval_step=make_downstream_eval_step(model, FEAT),
+            lr_init=lr, ckpt_dir=None, patience=100)
+        losses = []
+        for epoch in range(NEPOCH):
+            tkey = jax.random.fold_in(key0, 7000 + epoch)
+            tm = learner.train_epoch(
+                ((jnp.asarray(w), jnp.asarray(g))
+                 for w, g in _epoch_data(epoch)), tkey)
+            losses.append(tm["loss"])
+        vm = learner.eval_epoch(
+            ((jnp.asarray(w), jnp.asarray(g)) for w, g in _epoch_data(99)))
+        seq_maes.append(vm["mae"])
+        seq_losses.append(losses)
+
+    runner = VmappedGridRunner(model, FEAT, [state0, state0],
+                               [(0, lr) for lr in LRS], patience=100)
+    vm_losses = [[], []]
+    for epoch in range(NEPOCH):
+        data = _epoch_data(epoch)
+
+        def stacked():
+            for w, g in data:
+                yield (np.stack([w, w]), np.stack([g, g]))
+
+        rngs = [jax.random.fold_in(key0, 7000 + epoch)] * 2
+        tm = runner.train_epoch(stacked(), rngs)
+        for i in range(2):
+            vm_losses[i].append(float(tm["loss"][i]))
+        runner.end_epoch(np.array([1.0, 1.0]))
+    ev = runner.eval_epoch((w, g) for w, g in _epoch_data(99))
+
+    for i in range(2):
+        assert float(ev["mae"][i]) == pytest.approx(seq_maes[i], rel=5e-3), i
+        np.testing.assert_allclose(vm_losses[i], seq_losses[i], rtol=2e-2)
+
+
+def test_cell_lifecycle_and_ensemble():
+    """Cells stop independently (two-stage lr/10), finished cells freeze,
+    ensembled params equal the mean over each cell's best window."""
+    model, state0 = _init_state()
+    runner = VmappedGridRunner(model, FEAT, [state0, state0],
+                               [(0, 1e-2), (0, 1e-3)], patience=1,
+                               ensemble_k=2)
+
+    # train one real step per epoch so params move between snapshots
+    key0 = jax.random.key(1)
+    val_b = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]   # cell B: monotonically worse
+    val_a = [1.0, 0.9, 0.8, 0.7, 0.6, 0.5]   # cell A: keeps improving
+    done_epochs = []
+    for epoch in range(6):
+        data = _epoch_data(epoch, nbatch=1)
+
+        def stacked():
+            for w, g in data:
+                yield np.stack([w, w]), np.stack([g, g])
+
+        runner.train_epoch(stacked(), [jax.random.fold_in(key0, epoch)] * 2)
+        done = runner.end_epoch(np.array([val_a[epoch], val_b[epoch]]))
+        done_epochs.append((runner.cells[0].done, runner.cells[1].done))
+        if done:
+            break
+
+    # B: best at epoch 0, patience 1 -> lr drop at epoch 1, done at epoch 2
+    assert runner.cells[1].done and runner.cells[1].lr_drops == 1
+    assert runner.cells[1].lr == pytest.approx(1e-4)
+    assert not runner.cells[0].done  # A never stops within 6 epochs
+    # B's lane froze once done: lr vector entry is 0
+    assert float(runner._lrs()[1]) == 0.0
+
+    p_before = np.asarray(
+        jax.tree.leaves(slice_state(runner.states, 1).params)[0])
+    data = _epoch_data(7, nbatch=1)
+    runner.train_epoch(
+        ((np.stack([w, w]), np.stack([g, g])) for w, g in data),
+        [jax.random.fold_in(key0, 7)] * 2)
+    p_after = np.asarray(
+        jax.tree.leaves(slice_state(runner.states, 1).params)[0])
+    np.testing.assert_array_equal(p_before, p_after)
+
+    # ensemble: B's window = epochs [best-1, best] = [0] (best=0, k=2)
+    runner.finalize()
+    win = runner._final_window[1]
+    assert len(win) >= 1
+    runner.ensembled_states()
+    ens = jax.tree.leaves(slice_state(runner.states, 1).params)[0]
+    want = np.mean(np.stack(
+        [jax.tree.leaves(w[0])[0] for w in win]), axis=0)
+    np.testing.assert_allclose(np.asarray(ens), want, atol=1e-6)
