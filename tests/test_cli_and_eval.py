@@ -131,6 +131,49 @@ def test_e2e_gen_simu_to_downstream(tmp_path):
 
 
 @pytest.mark.slow
+def test_e2e_pretrain_ckpt_into_downstream(tmp_path):
+    """The flagship workflow through the CLIs: pretrain writes a checkpoint,
+    downstream --pretrain-ckpt loads it (reference run_downstream.py:253-256).
+    lineareval freezes the loaded encoders, so the downstream checkpoint's
+    encoder params must equal the pretrain best checkpoint bit-for-bit —
+    proof the transfer actually happened end to end."""
+    from flax.traverse_util import flatten_dict
+    from sarssl_tpu.cli.run_pretrain import main as pre_main
+    from sarssl_tpu.cli.run_downstream import main as ds_main
+    from sarssl_tpu.train import checkpoint as ckpt
+
+    pre = str(tmp_path / "pre")
+    rc = pre_main(["--smoke", "--exp-dir", pre])
+    assert rc in (0, None)
+
+    ds = str(tmp_path / "ds")
+    rc = ds_main(["--smoke", "--ds-trainmode", "lineareval",
+                  "--pretrain-ckpt", os.path.join(pre, "checkpoints"),
+                  "--exp-dir", ds])
+    assert rc in (0, None)
+
+    pre_params = ckpt.load_checkpoint(
+        ckpt.best_path(os.path.join(pre, "checkpoints")))["params"]
+    cells = [p for p in os.listdir(ds) if p.startswith("trial")]
+    assert cells
+    ds_ck = os.path.join(ds, cells[0], "ckpt")
+    path = (ckpt.ensemble_path(ds_ck)
+            if os.path.exists(ckpt.ensemble_path(ds_ck))
+            else ckpt.best_path(ds_ck))
+    ds_params = ckpt.load_checkpoint(path)["params"]
+
+    pre_enc = flatten_dict(pre_params["spec_encoder"])
+    ds_enc = flatten_dict(ds_params["spec_encoder"])
+    assert pre_enc.keys() == ds_enc.keys()
+    for k in pre_enc:
+        np.testing.assert_array_equal(
+            np.asarray(pre_enc[k]), np.asarray(ds_enc[k]),
+            err_msg=f"lineareval encoder param moved or was not loaded: {k}")
+    # the head exists downstream only (it is not part of the pretext model)
+    assert "head_proj" in ds_params and "head_proj" not in pre_params
+
+
+@pytest.mark.slow
 def test_e2e_real_mix_pretrain(tmp_path):
     """Real-corpus pretraining path end to end: a synthetic stereo corpus
     tree -> RandomRealDataset mixing -> one tiny pretrain epoch."""
