@@ -68,9 +68,9 @@ def _gen_one(idx: int, *, seed: int, save_dir: str, T: float, fs: int,
                              noise_paths=tuple(noise_paths), mic_vad=mic_vad)
     if mode == "rir":
         # RIR-only tree (reference gen_simu 'rir' mode, gen_simu.py:137-163):
-        # {idx}_rir.npy (nsamp, nmic, nsrc) + {idx}_rir_info.npz with the
-        # dp RIR, geometry and source-independent annotations — consumed by
-        # data.real_rir.SimRIRDataset for on-the-fly micsig synthesis
+        # {idx}_rir.npy (npt, nmic, nsamp, nsrc) + {idx}_rir_info.npz with
+        # the dp RIR, geometry and source-independent annotations — consumed
+        # by data.real_rir.SimRIRDataset for on-the-fly micsig synthesis
         rir, info = synth.generate_rir(seed=seed + idx)
         np.save(os.path.join(save_dir, f"{idx}_rir.npy"), rir)
         np.savez(os.path.join(save_dir, f"{idx}_rir_info.npz"), **info)

@@ -217,6 +217,8 @@ def main(argv=None):
         # pod-scale DP: every host contributes bs/process_count DISTINCT
         # rows (disjoint seeds or file shards); single-process no-ops
         pc, pi = jax.process_count(), jax.process_index()
+        seed0 = seed  # host-invariant (pod paths that shard rows explicitly
+        # must NOT also perturb the permutation seed per host)
         if pc > 1:
             assert bs % pc == 0, (bs, pc)
             bs = bs // pc
@@ -229,19 +231,30 @@ def main(argv=None):
             num = {"train": train_num, "val": args.val_num,
                    "test": args.test_num}[split] // pc
             tr = [Selecting((0, nsample))]
-            arms = []
+            arms, weights = [], []
             if split == "train" and ratio[1]:
                 assert args.sim_sig_dir, (
                     "--real-sim-ratio includes a sim arm: pass --sim-sig-dir")
                 arms.append(FixMicSigDataset(args.sim_sig_dir, load_anno=True,
                                              transforms=tr))
+                weights.append(ratio[1])
             if ratio[0] or split != "train":
                 arms.append(FixMicSigDatasetLOCATA(
                     os.path.join(args.real_sig_dir, split), load_anno=True,
                     transforms=tr))
-            ds = RandomMixDataset(arms, length=num, seed=seed * 13 + 5)
-            return batch_iterator(ds, bs, shuffle=False,
-                                  num_workers=args.workers)
+                weights.append(ratio[0] if split == "train" else 1)
+            if len(arms) == 1 and split != "train":
+                # fixed eval corpus: enumerate it (no with-replacement draws)
+                arms[0].data_paths = arms[0].data_paths[:num]
+                return batch_iterator(arms[0], bs, shuffle=False,
+                                      num_workers=args.workers)
+            ds = (arms[0] if len(arms) == 1 else
+                  RandomMixDataset(arms, length=num, seed=seed * 13 + 5,
+                                   probs=weights))
+            if len(arms) == 1:
+                ds.data_paths = ds.data_paths[:num]
+            return batch_iterator(ds, bs, shuffle=split == "train",
+                                  seed=seed, num_workers=args.workers)
         if args.rir_dir or args.sim_rir_dir:
             # on-the-fly speech x RIR, real and/or simulated arms (reference
             # RandomMicSigFromRIRDataset, dataset.py:287-382)
@@ -262,20 +275,24 @@ def main(argv=None):
                     SimRIRDataset(args.sim_rir_dir, fs=fs), srcs, T=T, fs=fs,
                     seed=s, length=num, noise_type="diffuse_white")
 
-            arms = []
+            arms, weights = [], []
             if split == "train":
                 if ratio[0] and args.rir_dir:
                     arms.append(real_arm(seed * 7 + 1))
+                    weights.append(ratio[0])
                 if ratio[1] and args.sim_rir_dir:
                     arms.append(sim_arm(seed * 7 + 2))
+                    weights.append(ratio[1])
             else:  # val/test on the real arm when it exists
                 arms.append(real_arm(seed * 7 + 1) if args.rir_dir
                             else sim_arm(seed * 7 + 2))
+                weights.append(1)
             assert arms, ("--real-sim-ratio excludes every provided RIR arm "
                           f"(ratio {ratio}, rir_dir={bool(args.rir_dir)}, "
                           f"sim_rir_dir={bool(args.sim_rir_dir)})")
             ds = (arms[0] if len(arms) == 1 else
-                  RandomMixDataset(arms, length=num, seed=seed * 13 + 5))
+                  RandomMixDataset(arms, length=num, seed=seed * 13 + 5,
+                                   probs=weights))
             if args.mp_loader and args.workers > 0:
                 from ..data import mp_batch_iterator
                 return mp_batch_iterator(ds, bs, shuffle=split == "train",
@@ -305,13 +322,15 @@ def main(argv=None):
         if is_packed(data_dir):
             import itertools
             from ..data import PackedDataset
-            pds = PackedDataset(data_dir)
+            pds = PackedDataset(data_dir, load_anno=True)
             num = {"train": train_num, "val": args.val_num,
                    "test": args.test_num}[split]
 
             def gen_packed():
+                # one SHARED permutation (seed0) across hosts: shard_i/shard_n
+                # hand out disjoint rows; a per-host seed would break that
                 it = pds.iter_batches(bs, shuffle=split == "train",
-                                      seed=seed, shard_i=pi, shard_n=pc)
+                                      seed=seed0, shard_i=pi, shard_n=pc)
                 for w, lab in itertools.islice(it, max(1, num // (bs * pc))):
                     yield w[:, :nsample], lab
             return gen_packed()

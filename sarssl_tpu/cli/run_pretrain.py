@@ -271,7 +271,10 @@ def main(argv=None):
             it = pds.iter_batches(local_bs, shuffle=split == "train",
                                   seed=args.seed + epoch,
                                   shard_i=pi, shard_n=pc)
-            return itertools.islice(it, max(1, num // args.bs))
+            it = itertools.islice(it, max(1, num // args.bs))
+            # crop like every other path's Selecting((0, nsample)): packed
+            # rows keep their native length
+            return (w[:, :nsample] for w in it)
         ds = FixMicSigDataset(data_dir, data_num=args.train_num
                               if split == "train" else args.val_num,
                               transforms=[Selecting((0, nsample))])

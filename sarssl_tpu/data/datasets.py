@@ -182,14 +182,7 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
     def fetch(i):
         return dataset[int(i)]
 
-    def collate(items):
-        first = items[0]
-        if isinstance(first, tuple):
-            waves = np.stack([it[0] for it in items])
-            keys = first[1].keys()
-            labels = {k: np.stack([it[1][k] for it in items]) for k in keys}
-            return waves, labels
-        return np.stack(items)
+    collate = collate_items
 
     if num_workers <= 0:
         for s in range(0, len(order), batch_size):
@@ -217,6 +210,17 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
             if b is not None:
                 futures.append(pool.map(fetch, b))
             yield collate(items)
+
+
+def collate_items(items):
+    """(wave[, annos-dict]) items -> stacked batch; shared by the thread and
+    process loaders so label formats cannot diverge between them."""
+    first = items[0]
+    if isinstance(first, tuple):
+        waves = np.stack([it[0] for it in items])
+        keys = first[1].keys()
+        return waves, {k: np.stack([it[1][k] for it in items]) for k in keys}
+    return np.stack(items)
 
 
 _MP_DATASET = None
@@ -255,15 +259,7 @@ def mp_batch_iterator(dataset, batch_size: int, shuffle: bool = True,
     batches = [order[s: s + batch_size]
                for s in range(0, len(order), batch_size)
                if len(order[s: s + batch_size]) == batch_size or not drop_last]
-
-    def collate(items):
-        first = items[0]
-        if isinstance(first, tuple):
-            waves = np.stack([it[0] for it in items])
-            keys = first[1].keys()
-            return waves, {k: np.stack([it[1][k] for it in items])
-                           for k in keys}
-        return np.stack(items)
+    collate = collate_items
 
     ctx = mp.get_context("spawn")
     with ctx.Pool(num_workers, initializer=_mp_init,

@@ -129,9 +129,10 @@ class NpyRIRDataset:
 
 class SimRIRDataset:
     """Pre-generated *simulated* RIR tree (``gen_simu --mode rir``):
-    ``{idx}_rir.npy`` (nsamp, nmic, nsrc) + ``{idx}_rir_info.npz`` with the
-    exact direct-path RIR ('rir_dp'), geometry and annotations — the
-    reference's simu_dataset.RIRDataset side of RandomMicSigFromRIRDataset
+    ``{idx}_rir.npy`` in the reference 4-D layout (npt, nmic, nsamp, nsrc)
+    (or legacy 2-D (nsamp, nmic)) + ``{idx}_rir_info.npz`` with the exact
+    direct-path RIR ('rir_dp'), geometry and annotations — the reference's
+    simu_dataset.RIRDataset side of RandomMicSigFromRIRDataset
     (dataset.py:336-356). Speaks the same ``.get`` protocol as
     NpyRIRDataset (recorded noise is always None)."""
 
@@ -147,7 +148,12 @@ class SimRIRDataset:
     def _to_2d(arr: np.ndarray) -> np.ndarray:
         """(npt, nmic, nsamp, nsrc) reference layout (or legacy 2-D) ->
         (nsamp, nmic), first trajectory point / first source."""
-        return arr[0, :, :, 0].T if arr.ndim == 4 else arr
+        if arr.ndim == 4:
+            return arr[0, :, :, 0].T
+        assert arr.ndim == 2, (
+            f"RIR array must be 4-D (npt, nmic, nsamp, nsrc) or 2-D "
+            f"(nsamp, nmic); got shape {arr.shape}")
+        return arr
 
     def get(self, idx: int, rng: Optional[np.random.Generator] = None):
         path = self.paths[idx]

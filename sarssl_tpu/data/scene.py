@@ -70,8 +70,9 @@ class SceneSynthesizer:
     def generate_rir(self, seed: int,
                      scene_cfg: Optional[Dict] = None) -> Tuple[np.ndarray, Dict]:
         """RIR-only generation (reference gen_simu 'rir' mode): returns
-        (rir (nsamp, nmic, nsrc) float32, info) where info carries the
-        direct-path RIR ('rir_dp'), geometry and the source-independent
+        (rir (npt, nmic, nsamp, nsrc) float32 — the reference
+        simulateRIR layout — , info) where info carries the direct-path RIR
+        ('rir_dp', same layout), geometry and the source-independent
         annotations (T60/DRR/C50/ABS/TDOA/DOA...)."""
         rng = np.random.default_rng(seed)
         fs, c = self.cfg.fs, self.cfg.c

@@ -133,7 +133,10 @@ class PackedDataset:
         if not self.load_anno:
             return wave
         a = self.annos()
-        return wave, {k: np.float32(a[k][idx]) for k in self.anno_keys}
+        # asarray, not float32(): annotation columns may be vectors
+        # (multi-pair TDOA, per-wall absorption)
+        return wave, {k: np.asarray(a[k][idx], np.float32)
+                      for k in self.anno_keys}
 
     def iter_batches(self, batch_size: int, shuffle: bool = False,
                      seed: int = 0, drop_last: bool = True,

@@ -125,15 +125,17 @@ class VmappedGridRunner:
         return {"loss": loss, "mae": mae}
 
     def eval_epoch(self, batches: Iterable) -> Dict[str, np.ndarray]:
-        tot_loss = tot_mae = None
-        n = 0
+        # accumulate on device; one host fetch per epoch (per-batch
+        # np.asarray would sync every step and stall async dispatch)
+        losses, maes, n = [], [], 0
         for wave, gt in batches:
             m = self.eval_step(self.states, jnp.asarray(wave),
                                jnp.asarray(gt))
-            l, a = np.asarray(m["loss"]), np.asarray(m["mae"])
-            tot_loss = l if tot_loss is None else tot_loss + l
-            tot_mae = a if tot_mae is None else tot_mae + a
+            losses.append(m["loss"])
+            maes.append(m["mae"])
             n += 1
+        tot_loss = np.sum([np.asarray(x) for x in losses], axis=0)
+        tot_mae = np.sum([np.asarray(x) for x in maes], axis=0)
         return {"loss": tot_loss / max(n, 1), "mae": tot_mae / max(n, 1)}
 
     def _snapshot(self):
