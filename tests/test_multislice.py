@@ -31,3 +31,22 @@ def test_replica_mesh_step():
         jnp.asarray(synth_batch(np.random.default_rng(0), 8, NSAMPLE)[0]), b_sh)
     state, m = step(state, wave, 1e-3, jax.random.key(1))
     assert np.isfinite(float(m["loss"]))
+
+
+@pytest.mark.slow
+def test_real_two_process_pod():
+    """REAL multi-process pod run (not virtual devices): two OS processes
+    with Gloo collectives run the sharded train+eval steps over distinct
+    host-local rows and must match a single-jit full-batch reference
+    (scripts/test_multiprocess_pod.py prints POD_OK)."""
+    import subprocess
+    import sys
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts",
+                                      "test_multiprocess_pod.py")],
+        capture_output=True, text=True, timeout=1200, cwd=root)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "POD_OK" in r.stdout
