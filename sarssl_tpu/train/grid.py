@@ -6,11 +6,13 @@ training runs whose tiny matmuls leave the accelerator mostly idle. Here the
 independent cells become lanes of a single jax.vmap'ed train step: params,
 optimizer moments, BatchNorm stats and the per-cell learning rate all gain a
 leading cell axis, so one step multiplies (ncell x bs)-row batches into the
-MXU instead of bs-row slivers. Per-cell early stopping, the two-stage lr/10
-drop and last-5-best full-state ensembling (learner semantics,
-train/learner.py) run on the host over the stacked state; finished cells are
-frozen with lr=0 lanes (Adam's update is identically zero there) until every
-cell has stopped.
+MXU instead of bs-row slivers. Per-cell early stopping and the two-stage
+lr/10 drop run on the host; last-5-best full-state ensembling stays ON
+DEVICE (a k-epoch ring of stacked params + per-cell window-average
+candidates folded when a cell's best improves) so no multi-hundred-MB
+param snapshots cross the host link per epoch. Finished cells are frozen
+with lr=0 lanes (Adam's update is identically zero there) until every cell
+has stopped.
 
 A cell's lane reproduces the sequential run exactly: same init, same data
 stream (keyed by trial), same dropout key chain (keyed by trial/epoch) —
@@ -19,7 +21,7 @@ pinned by tests/test_grid_vmap.py against DownstreamLearner.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -88,9 +90,17 @@ class VmappedGridRunner:
         self.smooth_alpha = smooth_alpha
         self.k = ensemble_k
         self.epoch = 0
-        # epoch -> per-cell host copies of (params, batch_stats)
-        self._buffer: Dict[int, List[Tuple]] = {}
-        self._final_window: Dict[int, List[Tuple]] = {}
+        # DEVICE-side ensembling (no per-epoch host transfers, which would
+        # ship ~0.8 GB/epoch of stacked params through the TPU tunnel):
+        # a ring of the last k epochs' stacked (params, batch_stats), plus
+        # per-cell window-average "candidates". A cell's best can only
+        # improve at the CURRENT epoch, so its reference window
+        # [best-k+1 .. best] is exactly the ring at that moment — fold the
+        # average into the candidate lane right then and discard nothing.
+        from collections import deque
+        self._ring = deque(maxlen=ensemble_k)
+        self._cand_p = jax.tree.map(jnp.zeros_like, self.states.params)
+        self._cand_b = jax.tree.map(jnp.zeros_like, self.states.batch_stats)
 
     @property
     def ncell(self) -> int:
@@ -138,19 +148,22 @@ class VmappedGridRunner:
         tot_mae = np.sum([np.asarray(x) for x in maes], axis=0)
         return {"loss": tot_loss / max(n, 1), "mae": tot_mae / max(n, 1)}
 
-    def _snapshot(self):
-        params = jax.device_get(self.states.params)
-        bstats = jax.device_get(self.states.batch_stats)
-        per_cell = []
-        for i in range(self.ncell):
-            per_cell.append((jax.tree.map(lambda x: np.asarray(x[i]), params),
-                             jax.tree.map(lambda x: np.asarray(x[i]), bstats)))
-        self._buffer[self.epoch] = per_cell
+    def _fold_candidate(self, i: int):
+        """candidate[lane i] <- mean over the ring of lane i (device ops,
+        ~ms; runs only when cell i's best improves)."""
+        def fold(cand, *ring):
+            win = jnp.mean(jnp.stack([r[i] for r in ring]), axis=0)
+            return cand.at[i].set(win.astype(cand.dtype))
+
+        self._cand_p = jax.tree.map(fold, self._cand_p,
+                                    *[p for p, _ in self._ring])
+        self._cand_b = jax.tree.map(fold, self._cand_b,
+                                    *[b for _, b in self._ring])
 
     def end_epoch(self, val_maes: np.ndarray) -> bool:
-        """Per-cell smoothed early stopping + lr/10 + snapshot bookkeeping.
-        Returns True when every cell has stopped."""
-        self._snapshot()
+        """Per-cell smoothed early stopping + lr/10 + on-device ensemble
+        bookkeeping. Returns True when every cell has stopped."""
+        self._ring.append((self.states.params, self.states.batch_stats))
         for i, c in enumerate(self.cells):
             if c.done:
                 continue
@@ -158,6 +171,7 @@ class VmappedGridRunner:
             smoothed = smooth_data(c.val_raw, self.smooth_alpha)[-1]
             if c.stopper.update(-smoothed):
                 c.best_epochs.append(self.epoch)
+                self._fold_candidate(i)
             c.epochs_run = self.epoch + 1
             if c.stopper.stopped:
                 if c.lr_drops == 0:
@@ -166,52 +180,22 @@ class VmappedGridRunner:
                     c.stopper.reset_counter()
                 else:
                     c.done = True
-                    self._extract_window(i)
         self.epoch += 1
-        self._prune_buffer()
         return self.all_done
 
-    def _extract_window(self, i: int):
-        c = self.cells[i]
-        best = c.best_epochs[-1] if c.best_epochs else self.epoch
-        eps = [e for e in range(max(0, best - self.k + 1), best + 1)
-               if e in self._buffer]
-        self._final_window[i] = [self._buffer[e][i] for e in eps]
-
-    def _prune_buffer(self):
-        active_best = [
-            (c.best_epochs[-1] if c.best_epochs else self.epoch)
-            for c in self.cells if not c.done]
-        if not active_best:
-            self._buffer.clear()
-            return
-        keep_from = min(active_best) - (self.k - 1)
-        for e in [e for e in self._buffer if e < keep_from]:
-            del self._buffer[e]
-
     def finalize(self) -> None:
-        """Extract windows for cells that hit the epoch limit unstopped."""
-        for i, c in enumerate(self.cells):
-            if i not in self._final_window:
-                self._extract_window(i)
+        for c in self.cells:
             c.done = True
 
     def ensembled_states(self):
-        """Uniform-average each cell's window (params AND batch stats, like
-        DownstreamLearner.ensemble) and install into the stacked state."""
+        """Install each cell's window-averaged params AND batch stats (like
+        DownstreamLearner.ensemble) into the stacked state. Candidates were
+        folded on device at each cell's best epochs — the final fold is the
+        window ending at the final best, the reference's
+        [best-k+1 .. best]."""
         self.finalize()
-        params_stk, bs_stk = [], []
-        for i in range(self.ncell):
-            win = self._final_window[i]
-            assert win, f"cell {i} has no snapshots"
-            avg_p = jax.tree.map(lambda *xs: np.mean(np.stack(xs), axis=0),
-                                 *[w[0] for w in win])
-            avg_b = jax.tree.map(lambda *xs: np.mean(np.stack(xs), axis=0),
-                                 *[w[1] for w in win])
-            params_stk.append(avg_p)
-            bs_stk.append(avg_b)
-        stacked_p = jax.tree.map(lambda *xs: jnp.stack(xs), *params_stk)
-        stacked_b = jax.tree.map(lambda *xs: jnp.stack(xs), *bs_stk)
-        self.states = self.states.replace(params=stacked_p,
-                                          batch_stats=stacked_b)
+        assert all(c.best_epochs for c in self.cells), (
+            "a cell never registered a best epoch (end_epoch not called?)")
+        self.states = self.states.replace(params=self._cand_p,
+                                          batch_stats=self._cand_b)
         return self.states
