@@ -122,6 +122,39 @@ def test_partial_load_pretrain_to_downstream(tmp_path):
             np.testing.assert_array_equal(got_flat[k], src_flat[k])
 
 
+def test_partial_load_across_nt(tmp_path):
+    """Encoder transfer across DIFFERENT frame counts — the flagship TDOA
+    path loads a T=4.112 s (nt=256) pretrain checkpoint into a T=1.04 s
+    (nt=64) downstream model; every encoder param must map (encoders are
+    nt-independent: relative-position attention, patch-shaped convs)."""
+    import jax.numpy as jnp
+    from flax import serialization
+    from flax.traverse_util import flatten_dict
+    from sarssl_tpu.models import SARSSL, SARSSLConfig
+    from sarssl_tpu.ops import gen_patch_mask
+    from sarssl_tpu.train import create_train_state
+
+    def st(nt, pretrain):
+        cfg = SARSSLConfig(dtype="float32", pretrain=pretrain).tiny(
+            sig_shape=(64, nt, 2, 2), patch_shape=(64, 1),
+            spec_dembed=32, spat_dembed=16, pretrain=pretrain)
+        m = SARSSL(cfg)
+        x = jnp.zeros((2, 2, 64, nt, 2))
+        msk = gen_patch_mask(jax.random.key(0), 2, cfg.npatch,
+                             cfg.effective_nmasked()) if pretrain else None
+        return create_train_state(m, jax.random.key(0), x, msk)
+
+    pre, ds = st(8, True), st(4, False)
+    src = serialization.to_state_dict(jax.device_get(pre.params))
+    _, loaded = partial_load(ds.params, src)
+    enc = [k for k in flatten_dict(serialization.to_state_dict(
+        jax.device_get(ds.params)))
+        if k[0] in ("spec_encoder", "spat_encoder")]
+    loaded_enc = [k for k in loaded
+                  if k.startswith(("spec_encoder", "spat_encoder"))]
+    assert len(loaded_enc) == len(enc), (len(loaded_enc), len(enc))
+
+
 def test_ensemble_params_is_mean():
     _, s1 = _state_and_model(seed=1)
     _, s2 = _state_and_model(seed=2)
