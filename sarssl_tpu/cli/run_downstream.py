@@ -53,6 +53,12 @@ def build_parser():
                         "(reference dataset.py:287-382)")
     p.add_argument("--src-dir", type=str, default=None,
                    help="speaker-tree source corpus for --rir-dir")
+    p.add_argument("--rir-cv", action="store_true",
+                   help="leave-one-room-out cross-validation over the "
+                        "immediate subdirectories of --rir-dir: ntrial "
+                        "becomes the room count and each trial holds out "
+                        "one room for test and one for val (reference "
+                        "run_downstream.py:133-134,194)")
     p.add_argument("--real-sig-dir", type=str, default=None,
                    help="presaved real wav tree with train/val/test subdirs "
                         "(LOCATA-materialized); mixes with --sim-sig-dir "
@@ -153,6 +159,20 @@ def main(argv=None):
         ntrial = args.ntrial or cfg.ntrial
         train_num = args.train_num or cfg.train_num
 
+    cv_splits = None
+    if args.rir_cv:
+        from ..utils.metrics import cross_validation_datadirs
+        assert args.rir_dir, "--rir-cv needs --rir-dir"
+        rooms = sorted(d for d in os.listdir(args.rir_dir)
+                       if os.path.isdir(os.path.join(args.rir_dir, d)))
+        assert len(rooms) >= 3, (
+            f"--rir-cv needs >= 3 room subdirs under {args.rir_dir}, "
+            f"found {rooms}")
+        cv_splits = list(cross_validation_datadirs(rooms, with_val=True,
+                                                   seed=args.seed))
+        ntrial = len(cv_splits)
+        print(f"cross-validation over {len(rooms)} rooms -> {ntrial} trials")
+
     fs = 16000
     T = args.T or cfg.T
     nsample = round(T * fs) if not args.smoke else 2304
@@ -213,7 +233,7 @@ def main(argv=None):
                                 opt_state=init_state.tx.init(params))
         return st, keys
 
-    def make_batches(split, bs, seed):
+    def make_batches(split, bs, seed, trial=0):
         # pod-scale DP: every host contributes bs/process_count DISTINCT
         # rows (disjoint seeds or file shards); single-process no-ops
         pc, pi = jax.process_count(), jax.process_index()
@@ -266,9 +286,11 @@ def main(argv=None):
             srcs = SpeakerTreeDataset(args.src_dir, T=T, fs=fs)
 
             def real_arm(s):
+                rooms = (cv_splits[trial][split] if cv_splits is not None
+                         else None)
                 return MicSigFromRIRDataset(
-                    NpyRIRDataset(args.rir_dir, fs=fs), srcs, T=T, fs=fs,
-                    seed=s, length=num)
+                    NpyRIRDataset(args.rir_dir, fs=fs, rooms=rooms), srcs,
+                    T=T, fs=fs, seed=s, length=num)
 
             def sim_arm(s):
                 return MicSigFromRIRDataset(
@@ -354,6 +376,9 @@ def main(argv=None):
     if args.grid_vmap:
         assert not multipair and len(bs_set) == 1 and not args.mesh, (
             "--grid-vmap supports single-bs, 2-mic, unmeshed grids")
+        assert cv_splits is None, (
+            "--grid-vmap shares one val/test set across lanes; --rir-cv "
+            "gives each trial its own rooms — use the sequential grid")
         results = _grid_vmapped(args, model, feat_cfg, fresh_state,
                                 make_batches, lr_set, bs_set[0], ntrial,
                                 root_key, dlabel)
@@ -415,9 +440,11 @@ def main(argv=None):
                                       7000 + epoch + trial * 100_000)
             tm = learner.train_epoch(
                 batch_adapter(make_batches(
-                    "train", bs, args.seed + trial * 1000 + epoch)), tkey)
+                    "train", bs, args.seed + trial * 1000 + epoch, trial)),
+                tkey)
             vm = learner.eval_epoch(
-                batch_adapter(make_batches("val", bs, 1)), split="val")
+                batch_adapter(make_batches("val", bs, 1, trial)),
+                split="val")
             stop = learner.end_epoch(vm["mae"])
             if stop:
                 break
@@ -426,9 +453,10 @@ def main(argv=None):
         ens_params = learner.ensemble(k=5)
         learner.state = learner.state.replace(params=ens_params)
         test_m = learner.eval_epoch(
-            batch_adapter(make_batches("test", bs, 2)), split="test")
+            batch_adapter(make_batches("test", bs, 2, trial)), split="test")
         val_m = learner.eval_epoch(
-            batch_adapter(make_batches("val", bs, 1)), split="val_final")
+            batch_adapter(make_batches("val", bs, 1, trial)),
+            split="val_final")
         results[cell] = {"val_mae": val_m["mae"], "test_mae": test_m["mae"],
                          "lr": lr, "bs": bs, "trial": trial,
                          "epochs_run": learner.epoch}

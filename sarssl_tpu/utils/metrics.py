@@ -69,13 +69,25 @@ def forgetting_norm(x, num_frame_set: int = None):
     return mus.T.reshape(B, 1, 1, T)
 
 
-def cross_validation_datadirs(room_dirs: Sequence[str]):
+def cross_validation_datadirs(room_dirs: Sequence[str], with_val: bool = False,
+                              seed: int = 0):
     """Leave-one-room-out splits (reference cross_validation_datadir,
     utils.py:249-277, used for ACE fine-tuning): yields
-    {'train': [...], 'test': [dir]} per held-out room."""
+    {'train': [...], 'test': [dir]} per held-out room; with ``with_val``
+    one of the remaining rooms becomes the val room (the reference draws
+    it with the global RNG — here a seeded, process-stable Generator)."""
+    import numpy as np
+
     rooms = list(room_dirs)
+    rng = np.random.default_rng((seed, 0xCF))
     for i, test_room in enumerate(rooms):
-        yield {"train": rooms[:i] + rooms[i + 1:], "test": [test_room]}
+        rest = rooms[:i] + rooms[i + 1:]
+        if not with_val:
+            yield {"train": rest, "test": [test_room]}
+            continue
+        vi = int(rng.integers(len(rest)))
+        yield {"train": rest[:vi] + rest[vi + 1:], "val": [rest[vi]],
+               "test": [test_room]}
 
 
 def detect_nonfinite(tree, name: str = "tensor") -> bool:

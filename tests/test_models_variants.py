@@ -80,6 +80,19 @@ def test_cross_validation_splits():
     assert len(splits) == 3
     assert splits[0]["test"] == ["r1"] and "r1" not in splits[0]["train"]
 
+    # with_val: disjoint train/val/test covering all rooms, deterministic
+    sv = list(cross_validation_datadirs(["r1", "r2", "r3", "r4"],
+                                        with_val=True, seed=5))
+    assert len(sv) == 4
+    for s in sv:
+        assert len(s["val"]) == 1 and len(s["test"]) == 1
+        all_rooms = s["train"] + s["val"] + s["test"]
+        assert sorted(all_rooms) == ["r1", "r2", "r3", "r4"]
+        assert not set(s["train"]) & set(s["val"]) | set(s["val"]) & set(s["test"])
+    sv2 = list(cross_validation_datadirs(["r1", "r2", "r3", "r4"],
+                                         with_val=True, seed=5))
+    assert sv == sv2  # process-stable
+
 
 def test_caucrnn_causal_and_shapes():
     """CauCRNN (reference CRNN.py:301-356): output shape and causality —
