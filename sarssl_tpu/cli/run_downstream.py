@@ -94,6 +94,9 @@ def build_parser():
                         "single vmapped program (train/grid.py) instead of "
                         "sequentially — same per-cell results, one compile, "
                         "MXU-sized batches (single-bs grids, nmic=2)")
+    p.add_argument("--grid-chunk", type=int, default=8,
+                   help="max lanes per vmapped grid program (stacked f32 "
+                        "states + the device ensemble ring must fit HBM)")
     p.add_argument("--mp-loader", action="store_true",
                    help="process-pool loader for the on-the-fly RIR paths "
                         "(CPU-bound synthesis scales past the GIL; "
@@ -499,74 +502,86 @@ def main(argv=None):
 
 def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
                   bs, ntrial, root_key, dlabel):
-    """All (trial, lr) cells as lanes of one vmapped program
-    (train/grid.py); reproduces the sequential per-cell life cycle —
-    reference run_downstream.py:115-166 made TPU-shaped."""
+    """All (trial, lr) cells as lanes of vmapped programs (train/grid.py),
+    chunked to --grid-chunk lanes per program so the stacked f32 states +
+    the on-device ensemble ring fit HBM; reproduces the sequential per-cell
+    life cycle — reference run_downstream.py:115-166 made TPU-shaped."""
     import jax
 
     from ..train.checkpoint import trainable_mask_from_loaded
     from ..train import checkpoint as ckpt
     from ..train.grid import VmappedGridRunner, slice_state
 
-    cells = [(t, lr) for t in range(ntrial) for lr in lr_set]
-    init_states, keys = [], []
-    for _ in cells:
-        st, keys = fresh_state()
-        init_states.append(st)
-    tmask = None
-    if args.ds_trainmode == "lineareval" and keys:
-        tmask = trainable_mask_from_loaded(init_states[0].params, keys)
-
-    runner = VmappedGridRunner(
-        model, feat_cfg, init_states, cells, task=args.ds_task,
-        dlabel=dlabel, trainable_mask=tmask,
-        patience=10 if not args.smoke else 2)
+    all_cells = [(t, lr) for t in range(ntrial) for lr in lr_set]
 
     def adapt(it):
         for wave, gt in it:
             g = gt[args.ds_task] if isinstance(gt, dict) else gt
             yield np.asarray(wave), np.asarray(g, np.float32)
 
-    for epoch in range(args.epochs):
-        # one data stream per trial (sequential semantics: lr cells within
-        # a trial see the same data); stack per step along the cell axis
-        streams = [adapt(make_batches("train", bs,
-                                      args.seed + t * 1000 + epoch))
-                   for t in range(ntrial)]
-
-        def stacked(streams=streams):
-            for per_trial in zip(*streams):
-                yield (np.stack([per_trial[t][0] for t, _ in cells]),
-                       np.stack([per_trial[t][1] for t, _ in cells]))
-
-        rngs = [jax.random.fold_in(root_key, 7000 + epoch + t * 100_000)
-                for t, _ in cells]
-        tm = runner.train_epoch(stacked(), rngs)
-        vm = runner.eval_epoch(adapt(make_batches("val", bs, 1)))
-        ndone = sum(c.done for c in runner.cells)
-        print(f"epoch {epoch}: mean train mae {tm['mae'].mean():.5f} "
-              f"mean val mae {vm['mae'].mean():.5f} cells done "
-              f"{ndone}/{len(cells)}")
-        if runner.end_epoch(vm["mae"]):
-            break
-
-    runner.ensembled_states()
-    test_m = runner.eval_epoch(adapt(make_batches("test", bs, 2)))
-    val_m = runner.eval_epoch(adapt(make_batches("val", bs, 1)))
-
     results = {}
-    for i, (t, lr) in enumerate(cells):
-        cell = f"trial{t}_bs{bs}_lr{lr:g}"
-        cell_dir = os.path.join(args.exp_dir, cell)
-        ckpt.save_named(os.path.join(cell_dir, "ckpt"),
-                        slice_state(runner.states, i), "ensemble_model",
-                        epoch=-1, max_score=runner.cells[i].stopper.best)
-        results[cell] = {"val_mae": float(val_m["mae"][i]),
-                         "test_mae": float(test_m["mae"][i]),
-                         "lr": lr, "bs": bs, "trial": t,
-                         "epochs_run": runner.cells[i].epochs_run}
-        print(f"{cell}: val MAE {results[cell]['val_mae']:.5f} "
-              f"test MAE {results[cell]['test_mae']:.5f}")
+    nchunk = max(1, args.grid_chunk)
+    for lo in range(0, len(all_cells), nchunk):
+        cells = all_cells[lo: lo + nchunk]
+        if len(all_cells) > nchunk:
+            print(f"--- grid chunk {lo // nchunk + 1}: cells "
+                  f"{[f'trial{t}_lr{lr:g}' for t, lr in cells]}")
+        init_states, keys = [], []
+        for _ in cells:
+            st, keys = fresh_state()
+            init_states.append(st)
+        tmask = None
+        if args.ds_trainmode == "lineareval" and keys:
+            tmask = trainable_mask_from_loaded(init_states[0].params, keys)
+
+        runner = VmappedGridRunner(
+            model, feat_cfg, init_states, cells, task=args.ds_task,
+            dlabel=dlabel, trainable_mask=tmask,
+            patience=10 if not args.smoke else 2)
+        trials = sorted({t for t, _ in cells})
+
+        for epoch in range(args.epochs):
+            # one data stream per trial (sequential semantics: lr cells
+            # within a trial see the same data); stack per step on cell axis
+            streams = {t: adapt(make_batches("train", bs,
+                                             args.seed + t * 1000 + epoch,
+                                             t))
+                       for t in trials}
+
+            def stacked(streams=streams):
+                for per_trial in zip(*streams.values()):
+                    by_t = dict(zip(streams.keys(), per_trial))
+                    yield (np.stack([by_t[t][0] for t, _ in cells]),
+                           np.stack([by_t[t][1] for t, _ in cells]))
+
+            rngs = [jax.random.fold_in(root_key, 7000 + epoch + t * 100_000)
+                    for t, _ in cells]
+            tm = runner.train_epoch(stacked(), rngs)
+            vm = runner.eval_epoch(adapt(make_batches("val", bs, 1)))
+            ndone = sum(c.done for c in runner.cells)
+            print(f"epoch {epoch}: mean train mae {tm['mae'].mean():.5f} "
+                  f"mean val mae {vm['mae'].mean():.5f} cells done "
+                  f"{ndone}/{len(cells)}", flush=True)
+            if runner.end_epoch(vm["mae"]):
+                break
+
+        runner.ensembled_states()
+        test_m = runner.eval_epoch(adapt(make_batches("test", bs, 2)))
+        val_m = runner.eval_epoch(adapt(make_batches("val", bs, 1)))
+
+        for i, (t, lr) in enumerate(cells):
+            cell = f"trial{t}_bs{bs}_lr{lr:g}"
+            cell_dir = os.path.join(args.exp_dir, cell)
+            ckpt.save_named(os.path.join(cell_dir, "ckpt"),
+                            slice_state(runner.states, i), "ensemble_model",
+                            epoch=-1, max_score=runner.cells[i].stopper.best)
+            results[cell] = {"val_mae": float(val_m["mae"][i]),
+                             "test_mae": float(test_m["mae"][i]),
+                             "lr": lr, "bs": bs, "trial": t,
+                             "epochs_run": runner.cells[i].epochs_run}
+            print(f"{cell}: val MAE {results[cell]['val_mae']:.5f} "
+                  f"test MAE {results[cell]['test_mae']:.5f}")
+        del runner
     return results
 
 

@@ -52,7 +52,10 @@ def make_vmapped_downstream_steps(model, feat_cfg: FeatureConfig,
     tbody = downstream_step_body(model, feat_cfg, task,
                                  trainable_mask=trainable_mask, dlabel=dlabel)
     ebody = downstream_eval_body(model, feat_cfg, task, dlabel=dlabel)
-    train = jax.jit(jax.vmap(tbody))
+    # donate the stacked state: without it the old and new states (params +
+    # two Adam moments x ncell, f32) coexist across every step and the
+    # full-dims 16-cell grid exhausts HBM
+    train = jax.jit(jax.vmap(tbody), donate_argnums=(0,))
     evalf = jax.jit(jax.vmap(ebody, in_axes=(0, None, None)))
     return train, evalf
 
@@ -163,7 +166,10 @@ class VmappedGridRunner:
     def end_epoch(self, val_maes: np.ndarray) -> bool:
         """Per-cell smoothed early stopping + lr/10 + on-device ensemble
         bookkeeping. Returns True when every cell has stopped."""
-        self._ring.append((self.states.params, self.states.batch_stats))
+        # ring entries must be COPIES: the next train step DONATES the
+        # live state's buffers, which would invalidate aliased snapshots
+        self._ring.append((jax.tree.map(jnp.copy, self.states.params),
+                           jax.tree.map(jnp.copy, self.states.batch_stats)))
         for i, c in enumerate(self.cells):
             if c.done:
                 continue
