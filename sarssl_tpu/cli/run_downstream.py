@@ -18,6 +18,7 @@ import itertools
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -97,6 +98,17 @@ def build_parser():
     p.add_argument("--grid-chunk", type=int, default=8,
                    help="max lanes per vmapped grid program (stacked f32 "
                         "states + the device ensemble ring must fit HBM)")
+    p.add_argument("--scan-block", type=int, default=25,
+                   help="steps per scanned grid dispatch (train/grid.py): "
+                        "amortizes the ~0.1 s/step tunnel latency+transfer "
+                        "cost; pick a divisor of the train/val/test step "
+                        "counts so only one scan program compiles")
+    p.add_argument("--time-budget", type=float, default=0,
+                   help="grid-vmap wall-clock budget in seconds (0 = off): "
+                        "each chunk gets its prorated share; when exceeded "
+                        "the epoch loop ends gracefully and ensembling + "
+                        "test eval still run, so results.json is always "
+                        "written")
     p.add_argument("--mp-loader", action="store_true",
                    help="process-pool loader for the on-the-fly RIR paths "
                         "(CPU-bound synthesis scales past the GIL; "
@@ -521,10 +533,13 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
 
     results = {}
     nchunk = max(1, args.grid_chunk)
-    for lo in range(0, len(all_cells), nchunk):
+    starts = list(range(0, len(all_cells), nchunk))
+    t_start = time.time()
+    budget = getattr(args, "time_budget", 0) or 0
+    for ci, lo in enumerate(starts):
         cells = all_cells[lo: lo + nchunk]
         if len(all_cells) > nchunk:
-            print(f"--- grid chunk {lo // nchunk + 1}: cells "
+            print(f"--- grid chunk {ci + 1}: cells "
                   f"{[f'trial{t}_lr{lr:g}' for t, lr in cells]}")
         init_states, keys = [], []
         for _ in cells:
@@ -534,15 +549,22 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
         if args.ds_trainmode == "lineareval" and keys:
             tmask = trainable_mask_from_loaded(init_states[0].params, keys)
 
+        # lr cells within a trial see the same data stream (sequential
+        # semantics), so transfer one data slot per trial and let lanes
+        # gather their slot on device (train/grid.py lane_slots)
+        trials = sorted({t for t, _ in cells})
+        lane_slots = [trials.index(t) for t, _ in cells]
         runner = VmappedGridRunner(
             model, feat_cfg, init_states, cells, task=args.ds_task,
             dlabel=dlabel, trainable_mask=tmask,
-            patience=10 if not args.smoke else 2)
-        trials = sorted({t for t, _ in cells})
+            patience=10 if not args.smoke else 2,
+            scan_block=max(1, args.scan_block), lane_slots=lane_slots)
+        # prorated graceful deadline: results.json must exist even if the
+        # grid would outlive the driver's outer timeout
+        deadline = (t_start + budget * (ci + 1) / len(starts)
+                    if budget else None)
 
         for epoch in range(args.epochs):
-            # one data stream per trial (sequential semantics: lr cells
-            # within a trial see the same data); stack per step on cell axis
             streams = {t: adapt(make_batches("train", bs,
                                              args.seed + t * 1000 + epoch,
                                              t))
@@ -551,8 +573,8 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
             def stacked(streams=streams):
                 for per_trial in zip(*streams.values()):
                     by_t = dict(zip(streams.keys(), per_trial))
-                    yield (np.stack([by_t[t][0] for t, _ in cells]),
-                           np.stack([by_t[t][1] for t, _ in cells]))
+                    yield (np.stack([by_t[t][0] for t in trials]),
+                           np.stack([by_t[t][1] for t in trials]))
 
             rngs = [jax.random.fold_in(root_key, 7000 + epoch + t * 100_000)
                     for t, _ in cells]
@@ -561,8 +583,13 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
             ndone = sum(c.done for c in runner.cells)
             print(f"epoch {epoch}: mean train mae {tm['mae'].mean():.5f} "
                   f"mean val mae {vm['mae'].mean():.5f} cells done "
-                  f"{ndone}/{len(cells)}", flush=True)
+                  f"{ndone}/{len(cells)} [{time.time() - t_start:.0f}s]",
+                  flush=True)
             if runner.end_epoch(vm["mae"]):
+                break
+            if deadline is not None and time.time() > deadline:
+                print(f"chunk {ci + 1} hit its prorated time budget at "
+                      f"epoch {epoch}; finalizing early", flush=True)
                 break
 
         runner.ensembled_states()
@@ -581,6 +608,10 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
                              "epochs_run": runner.cells[i].epochs_run}
             print(f"{cell}: val MAE {results[cell]['val_mae']:.5f} "
                   f"test MAE {results[cell]['test_mae']:.5f}")
+        # recovery artifact: chunks already finished survive a killed run
+        with open(os.path.join(args.exp_dir, "results.partial.json"),
+                  "w") as f:
+            json.dump(results, f, indent=2, default=float)
         del runner
     return results
 

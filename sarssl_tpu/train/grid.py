@@ -60,6 +60,75 @@ def make_vmapped_downstream_steps(model, feat_cfg: FeatureConfig,
     return train, evalf
 
 
+def make_scanned_downstream_steps(model, feat_cfg: FeatureConfig,
+                                  task: str = "TDOA", trainable_mask=None,
+                                  dlabel: int = 1, lane_slots=None):
+    """Block-scanned variants of the vmapped steps: one dispatch runs k
+    steps via lax.scan, so per-step tunnel latency, h2d transfer setup and
+    the host-side PRNG-split ops (all measured at ~0.1 s/step through the
+    axon tunnel — ~2 min of a 2.3-min grid epoch) amortize k-fold.
+
+    train_block(states, rngs, waves (k,S,bs,ns,nch), gts (k,S,bs[,d]),
+                lrs (N,)) -> (states, rngs, loss_sums (N,), mae_sums (N,))
+    eval_block(states, waves (k,bs,ns,nch), gts (k,bs[,d]))
+                -> (loss_sums (N,), mae_sums (N,))
+
+    S is the number of data SLOTS: with lane_slots=None, S == ncell and
+    slot i feeds lane i; otherwise lane j reads slot lane_slots[j], so lr
+    cells sharing a trial transfer their (identical) data stream once —
+    a 4x h2d cut for the reference's 4-lr grid."""
+    tbody = downstream_step_body(model, feat_cfg, task,
+                                 trainable_mask=trainable_mask, dlabel=dlabel)
+    ebody = downstream_eval_body(model, feat_cfg, task, dlabel=dlabel)
+    vtrain = jax.vmap(tbody)
+    veval = jax.vmap(ebody, in_axes=(0, None, None))
+    slots = (None if lane_slots is None
+             else jnp.asarray(lane_slots, jnp.int32))
+
+    def train_block(states, rngs, waves, gts, lrs):
+        def step(carry, xt):
+            st, r = carry
+            w, g = xt
+            if slots is not None:
+                w = jnp.take(w, slots, axis=0)
+                g = jnp.take(g, slots, axis=0)
+            split = jax.vmap(jax.random.split)(r)
+            r2, subs = split[:, 0], split[:, 1]
+            st, m = vtrain(st, w, g, lrs, subs)
+            return (st, r2), (m["loss"], m["mae"])
+
+        (states, rngs), (losses, maes) = jax.lax.scan(
+            step, (states, rngs), (waves, gts))
+        return states, rngs, losses.sum(0), maes.sum(0)
+
+    def eval_block(states, waves, gts):
+        def step(_, xt):
+            w, g = xt
+            m = veval(states, w, g)
+            return None, (m["loss"], m["mae"])
+
+        _, (losses, maes) = jax.lax.scan(step, None, (waves, gts))
+        return losses.sum(0), maes.sum(0)
+
+    return (jax.jit(train_block, donate_argnums=(0,)), jax.jit(eval_block))
+
+
+def _blocks(batches: Iterable, k: int):
+    """Group a stream of per-step (waves, gts) into (k',*) step-axis stacks
+    (k' == k except possibly the last block). Each distinct k' compiles its
+    own scan program — callers pick step counts divisible by k."""
+    buf = []
+    for item in batches:
+        buf.append(item)
+        if len(buf) == k:
+            yield (np.stack([w for w, _ in buf]),
+                   np.stack([g for _, g in buf]))
+            buf = []
+    if buf:
+        yield (np.stack([w for w, _ in buf]),
+               np.stack([g for _, g in buf]))
+
+
 @dataclass
 class _Cell:
     lr: float
@@ -83,9 +152,13 @@ class VmappedGridRunner:
     def __init__(self, model, feat_cfg: FeatureConfig, init_states: Sequence,
                  cells: Sequence[Tuple[int, float]], task: str = "TDOA",
                  dlabel: int = 1, trainable_mask=None, patience: int = 10,
-                 smooth_alpha: float = 0.6, ensemble_k: int = 5):
-        self.train_step, self.eval_step = make_vmapped_downstream_steps(
-            model, feat_cfg, task, trainable_mask, dlabel)
+                 smooth_alpha: float = 0.6, ensemble_k: int = 5,
+                 scan_block: int = 25, lane_slots=None):
+        self.scan_block = scan_block
+        self.lane_slots = lane_slots
+        self.train_block, self.eval_block = make_scanned_downstream_steps(
+            model, feat_cfg, task, trainable_mask, dlabel,
+            lane_slots=lane_slots)
         self.states = stack_states(list(init_states))
         self.cells = [
             _Cell(lr=lr, trial=t, name=f"trial{t}_lr{lr:g}",
@@ -119,34 +192,35 @@ class VmappedGridRunner:
 
     def train_epoch(self, stacked_batches: Iterable,
                     epoch_rngs: Sequence) -> Dict[str, np.ndarray]:
-        """stacked_batches yields (waves (N,bs,ns,nch), gts (N,bs[,d]));
-        epoch_rngs: one base PRNG key per cell (the sequential learner's
-        per-epoch tkey), split once per step like learner.train_epoch."""
+        """stacked_batches yields per-step (waves (S,bs,ns,nch),
+        gts (S,bs[,d])) where S = ncell (lane_slots=None) or the slot
+        count; epoch_rngs: one base PRNG key per cell (the sequential
+        learner's per-epoch tkey), split once per step like
+        learner.train_epoch — the split now runs inside the scanned
+        program, same key chain."""
         rngs = jnp.stack(list(epoch_rngs))
         lrs = self._lrs()
         losses, maes, n = [], [], 0
-        for waves, gts in stacked_batches:
-            split = jax.vmap(jax.random.split)(rngs)  # (N, 2) keys
-            rngs, subs = split[:, 0], split[:, 1]
-            self.states, m = self.train_step(
-                self.states, jnp.asarray(waves), jnp.asarray(gts), lrs, subs)
-            losses.append(m["loss"])
-            maes.append(m["mae"])
-            n += 1
+        for waves, gts in _blocks(stacked_batches, self.scan_block):
+            self.states, rngs, ls, ms = self.train_block(
+                self.states, rngs, waves, gts, lrs)
+            losses.append(ls)
+            maes.append(ms)
+            n += waves.shape[0]
         loss = np.sum([np.asarray(x) for x in losses], axis=0) / max(n, 1)
         mae = np.sum([np.asarray(x) for x in maes], axis=0) / max(n, 1)
         return {"loss": loss, "mae": mae}
 
     def eval_epoch(self, batches: Iterable) -> Dict[str, np.ndarray]:
-        # accumulate on device; one host fetch per epoch (per-batch
-        # np.asarray would sync every step and stall async dispatch)
+        # scanned blocks: one dispatch + one h2d per k shared batches, one
+        # host fetch per epoch (per-batch np.asarray would sync every step
+        # and stall async dispatch)
         losses, maes, n = [], [], 0
-        for wave, gt in batches:
-            m = self.eval_step(self.states, jnp.asarray(wave),
-                               jnp.asarray(gt))
-            losses.append(m["loss"])
-            maes.append(m["mae"])
-            n += 1
+        for waves, gts in _blocks(batches, self.scan_block):
+            ls, ms = self.eval_block(self.states, waves, gts)
+            losses.append(ls)
+            maes.append(ms)
+            n += waves.shape[0]
         tot_loss = np.sum([np.asarray(x) for x in losses], axis=0)
         tot_mae = np.sum([np.asarray(x) for x in maes], axis=0)
         return {"loss": tot_loss / max(n, 1), "mae": tot_mae / max(n, 1)}
