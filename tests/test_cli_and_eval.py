@@ -173,6 +173,29 @@ def test_e2e_pretrain_ckpt_into_downstream(tmp_path):
     assert "head_proj" in ds_params and "head_proj" not in pre_params
 
 
+def test_grid_vmap_time_budget_still_writes_results(tmp_path):
+    """--time-budget ends the grid-vmap epoch loop gracefully: the run
+    must stop after the first epoch (budget ~0), yet still ensemble, run
+    the test eval and write results.json + results.partial.json — the
+    guarantee that an outer kill deadline can never erase a grid run."""
+    import json
+    from sarssl_tpu.cli.run_downstream import main as ds_main
+
+    e = str(tmp_path / "exp")
+    rc = ds_main(["--smoke", "--grid-vmap", "--time-budget", "0.001",
+                  "--scan-block", "3", "--exp-dir", e])
+    assert rc in (0, None)
+    payload = json.loads((tmp_path / "exp" / "results.json").read_text())
+    cells = payload["cells"]
+    assert cells, f"no cells in results.json: {payload}"
+    for cell in cells.values():
+        assert cell["epochs_run"] == 1, (
+            "budget ~0 should have stopped every cell after epoch 0, got "
+            f"{cell['epochs_run']} epochs")
+        assert np.isfinite(cell["test_mae"])
+    assert (tmp_path / "exp" / "results.partial.json").exists()
+
+
 @pytest.mark.slow
 def test_e2e_real_mix_pretrain(tmp_path):
     """Real-corpus pretraining path end to end: a synthetic stereo corpus
