@@ -540,7 +540,8 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
         cells = all_cells[lo: lo + nchunk]
         if len(all_cells) > nchunk:
             print(f"--- grid chunk {ci + 1}: cells "
-                  f"{[f'trial{t}_lr{lr:g}' for t, lr in cells]}")
+                  f"{[f'trial{t}_lr{lr:g}' for t, lr in cells]}",
+                  flush=True)
         init_states, keys = [], []
         for _ in cells:
             st, keys = fresh_state()
@@ -578,12 +579,16 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
 
             rngs = [jax.random.fold_in(root_key, 7000 + epoch + t * 100_000)
                     for t, _ in cells]
+            t0 = time.time()
             tm = runner.train_epoch(stacked(), rngs)
+            t1 = time.time()
             vm = runner.eval_epoch(adapt(make_batches("val", bs, 1)))
+            t2 = time.time()
             ndone = sum(c.done for c in runner.cells)
             print(f"epoch {epoch}: mean train mae {tm['mae'].mean():.5f} "
                   f"mean val mae {vm['mae'].mean():.5f} cells done "
-                  f"{ndone}/{len(cells)} [{time.time() - t_start:.0f}s]",
+                  f"{ndone}/{len(cells)} [train {t1 - t0:.1f}s val "
+                  f"{t2 - t1:.1f}s tot {time.time() - t_start:.0f}s]",
                   flush=True)
             if runner.end_epoch(vm["mae"]):
                 break
@@ -607,7 +612,7 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
                              "lr": lr, "bs": bs, "trial": t,
                              "epochs_run": runner.cells[i].epochs_run}
             print(f"{cell}: val MAE {results[cell]['val_mae']:.5f} "
-                  f"test MAE {results[cell]['test_mae']:.5f}")
+                  f"test MAE {results[cell]['test_mae']:.5f}", flush=True)
         # recovery artifact: chunks already finished survive a killed run
         with open(os.path.join(args.exp_dir, "results.partial.json"),
                   "w") as f:

@@ -177,6 +177,28 @@ class VmappedGridRunner:
         self._ring = deque(maxlen=ensemble_k)
         self._cand_p = jax.tree.map(jnp.zeros_like, self.states.params)
         self._cand_b = jax.tree.map(jnp.zeros_like, self.states.batch_stats)
+        # single-dispatch end-of-epoch device ops (per-leaf eager tree_maps
+        # would issue hundreds of tiny tunnel dispatches per epoch)
+        self._snap = jax.jit(lambda p, b: (jax.tree.map(jnp.copy, p),
+                                           jax.tree.map(jnp.copy, b)))
+
+        def _fold_masked(cand_p, cand_b, mask, weights, *ring):
+            """cand[lane] <- weighted sum over k ring snapshots of that
+            lane where mask[lane], else unchanged — every lane in ONE
+            program. ring is always 2k trees (k params + k batch_stats),
+            padded by the caller, so exactly one variant compiles;
+            weights carries 1/n_valid for live snapshots, 0 for padding."""
+            ps, bs = ring[:ensemble_k], ring[ensemble_k:]
+
+            def fold(cand, *snaps):
+                win = sum(w * s for w, s in zip(weights, snaps))
+                m = mask.reshape((-1,) + (1,) * (cand.ndim - 1))
+                return jnp.where(m, win.astype(cand.dtype), cand)
+
+            return (jax.tree.map(lambda c, *s: fold(c, *s), cand_p, *ps),
+                    jax.tree.map(lambda c, *s: fold(c, *s), cand_b, *bs))
+
+        self._fold_masked = jax.jit(_fold_masked)
 
     @property
     def ncell(self) -> int:
@@ -225,25 +247,16 @@ class VmappedGridRunner:
         tot_mae = np.sum([np.asarray(x) for x in maes], axis=0)
         return {"loss": tot_loss / max(n, 1), "mae": tot_mae / max(n, 1)}
 
-    def _fold_candidate(self, i: int):
-        """candidate[lane i] <- mean over the ring of lane i (device ops,
-        ~ms; runs only when cell i's best improves)."""
-        def fold(cand, *ring):
-            win = jnp.mean(jnp.stack([r[i] for r in ring]), axis=0)
-            return cand.at[i].set(win.astype(cand.dtype))
-
-        self._cand_p = jax.tree.map(fold, self._cand_p,
-                                    *[p for p, _ in self._ring])
-        self._cand_b = jax.tree.map(fold, self._cand_b,
-                                    *[b for _, b in self._ring])
-
     def end_epoch(self, val_maes: np.ndarray) -> bool:
         """Per-cell smoothed early stopping + lr/10 + on-device ensemble
         bookkeeping. Returns True when every cell has stopped."""
         # ring entries must be COPIES: the next train step DONATES the
-        # live state's buffers, which would invalidate aliased snapshots
-        self._ring.append((jax.tree.map(jnp.copy, self.states.params),
-                           jax.tree.map(jnp.copy, self.states.batch_stats)))
+        # live state's buffers, which would invalidate aliased snapshots.
+        # One jitted dispatch (per-leaf eager jnp.copy would be ~2 x nleaf
+        # tunnel dispatches per epoch).
+        self._ring.append(self._snap(self.states.params,
+                                     self.states.batch_stats))
+        improved = np.zeros((self.ncell,), bool)
         for i, c in enumerate(self.cells):
             if c.done:
                 continue
@@ -251,7 +264,7 @@ class VmappedGridRunner:
             smoothed = smooth_data(c.val_raw, self.smooth_alpha)[-1]
             if c.stopper.update(-smoothed):
                 c.best_epochs.append(self.epoch)
-                self._fold_candidate(i)
+                improved[i] = True
             c.epochs_run = self.epoch + 1
             if c.stopper.stopped:
                 if c.lr_drops == 0:
@@ -260,6 +273,19 @@ class VmappedGridRunner:
                     c.stopper.reset_counter()
                 else:
                     c.done = True
+        if improved.any():
+            # every improving cell's reference window [best-k+1 .. best]
+            # is the ring right now — fold them all in one dispatch,
+            # padded to k entries (weight 0) so one program serves every
+            # ring fill level
+            ring = list(self._ring)
+            entries = ring + [ring[-1]] * (self.k - len(ring))
+            w = np.zeros((self.k,), np.float32)
+            w[: len(ring)] = 1.0 / len(ring)
+            self._cand_p, self._cand_b = self._fold_masked(
+                self._cand_p, self._cand_b, jnp.asarray(improved),
+                jnp.asarray(w),
+                *[p for p, _ in entries], *[b for _, b in entries])
         self.epoch += 1
         return self.all_done
 
