@@ -1,13 +1,17 @@
-"""Measure the vmapped-grid speedup vs the sequential cell loop (one chip).
+"""Measure the vmapped/scanned-grid speedup vs the sequential cell loop.
 
 Times one full downstream grid epoch — 16 (trial, lr) cells x (train steps +
 val eval) at the reference sim settings (bs 8, lr set x4, ntrial 4, TDOA,
-full dims) — both ways in ONE process (so each path pays its own compile
+full dims) — three ways in ONE process (so each path pays its own compile
 once and timing excludes it):
 
   sequential: 16 cells stepped one after another (reference semantics,
               run_downstream.py:115-166)
-  vmapped:    all 16 cells as lanes of one program (train/grid.py)
+  vmapped:    all 16 cells as lanes of one program, one dispatch per step
+              (train/grid.py make_vmapped_downstream_steps)
+  scanned:    the production path — 25-step lax.scan blocks with per-trial
+              data slots (train/grid.py make_scanned_downstream_steps),
+              amortizing the ~0.1 s/step tunnel latency+transfer cost
 
 Run (after generating + packing data/simu_ds): python scripts/profile_grid_vmap.py
 Writes GRID_VMAP_r3.json at the repo root.
@@ -110,10 +114,45 @@ def main():
     t_v = time.perf_counter() - t0
     print(f"vmapped:    {t_v:.1f} s/grid-epoch (first pass incl. compile "
           f"{compile_v:.1f} s)")
+
+    # --- scanned (production path) ---------------------------------------
+    from sarssl_tpu.train.grid import make_scanned_downstream_steps, _blocks
+    K = 25
+    NTRIAL = 4
+    lane_slots = [c // 4 for c in range(NCELL)]  # 4 lr lanes per trial slot
+    strain, sev = make_scanned_downstream_steps(model, feat_cfg, task="TDOA",
+                                                lane_slots=lane_slots)
+    sts2 = stack_states([st0] * NCELL)
+    keys0 = jnp.stack([jax.random.fold_in(key, c) for c in range(NCELL)])
+
+    def per_trial_stream():
+        for w, g in train_b:
+            yield (np.stack([w] * NTRIAL), np.stack([g] * NTRIAL))
+
+    def scan_epoch(sts):
+        rngs = keys0
+        out = None
+        for wb, gb in _blocks(per_trial_stream(), K):
+            sts, rngs, ls, ms = strain(sts, rngs, wb, gb, lrs)
+        for wb, gb in _blocks(iter(val_b), K):
+            out = sev(sts, wb, gb)
+        _sync(out)
+        return sts
+
+    t0 = time.perf_counter(); sts2 = scan_epoch(sts2)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter(); sts2 = scan_epoch(sts2)
+    t_s = time.perf_counter() - t0
+    print(f"scanned:    {t_s:.1f} s/grid-epoch (first pass incl. compile "
+          f"{compile_s:.1f} s)")
+
     out = {"ncell": NCELL, "bs": BS, "task": "TDOA nt=64 full dims",
            "sequential_s_per_grid_epoch": round(t_seq, 2),
            "vmapped_s_per_grid_epoch": round(t_v, 2),
-           "speedup": round(t_seq / t_v, 2)}
+           "scanned_s_per_grid_epoch": round(t_s, 2),
+           "scan_block": K,
+           "speedup": round(t_seq / t_v, 2),
+           "speedup_scanned": round(t_seq / t_s, 2)}
     print(json.dumps(out))
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "GRID_VMAP_r3.json"), "w") as f:
