@@ -564,6 +564,9 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
         # grid would outlive the driver's outer timeout
         deadline = (t_start + budget * (ci + 1) / len(starts)
                     if budget else None)
+        # the val set is fixed: stage it on device once per chunk
+        staged_val = runner.stage_eval_blocks(adapt(make_batches("val",
+                                                                bs, 1)))
 
         for epoch in range(args.epochs):
             streams = {t: adapt(make_batches("train", bs,
@@ -582,7 +585,7 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
             t0 = time.time()
             tm = runner.train_epoch(stacked(), rngs)
             t1 = time.time()
-            vm = runner.eval_epoch(adapt(make_batches("val", bs, 1)))
+            vm = runner.eval_epoch_staged(staged_val)
             t2 = time.time()
             ndone = sum(c.done for c in runner.cells)
             print(f"epoch {epoch}: mean train mae {tm['mae'].mean():.5f} "
@@ -599,7 +602,7 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
 
         runner.ensembled_states()
         test_m = runner.eval_epoch(adapt(make_batches("test", bs, 2)))
-        val_m = runner.eval_epoch(adapt(make_batches("val", bs, 1)))
+        val_m = runner.eval_epoch_staged(staged_val)
 
         for i, (t, lr) in enumerate(cells):
             cell = f"trial{t}_bs{bs}_lr{lr:g}"

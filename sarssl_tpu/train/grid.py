@@ -247,6 +247,26 @@ class VmappedGridRunner:
         tot_mae = np.sum([np.asarray(x) for x in maes], axis=0)
         return {"loss": tot_loss / max(n, 1), "mae": tot_mae / max(n, 1)}
 
+    def stage_eval_blocks(self, batches: Iterable):
+        """device_put a fixed eval stream once; reuse every epoch. The val
+        set never changes across epochs, so re-transferring it (~133 MB at
+        70-120 MB/s tunnel h2d per epoch, ~40% of a late grid epoch) is
+        pure waste."""
+        import jax as _jax
+        return [(_jax.device_put(w), _jax.device_put(g))
+                for w, g in _blocks(batches, self.scan_block)]
+
+    def eval_epoch_staged(self, staged) -> Dict[str, np.ndarray]:
+        losses, maes, n = [], [], 0
+        for waves, gts in staged:
+            ls, ms = self.eval_block(self.states, waves, gts)
+            losses.append(ls)
+            maes.append(ms)
+            n += waves.shape[0]
+        tot_loss = np.sum([np.asarray(x) for x in losses], axis=0)
+        tot_mae = np.sum([np.asarray(x) for x in maes], axis=0)
+        return {"loss": tot_loss / max(n, 1), "mae": tot_mae / max(n, 1)}
+
     def end_epoch(self, val_maes: np.ndarray) -> bool:
         """Per-cell smoothed early stopping + lr/10 + on-device ensemble
         bookkeeping. Returns True when every cell has stopped."""
