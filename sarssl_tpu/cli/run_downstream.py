@@ -98,6 +98,10 @@ def build_parser():
     p.add_argument("--grid-chunk", type=int, default=8,
                    help="max lanes per vmapped grid program (stacked f32 "
                         "states + the device ensemble ring must fit HBM)")
+    p.add_argument("--trial-set", type=int, nargs="+", default=None,
+                   help="run only these trial indices of the grid (data "
+                        "streams and rng chains stay keyed by the true "
+                        "trial index, so results merge with a full grid's)")
     p.add_argument("--scan-block", type=int, default=25,
                    help="steps per scanned grid dispatch (train/grid.py): "
                         "amortizes the ~0.1 s/step tunnel latency+transfer "
@@ -524,7 +528,9 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
     from ..train import checkpoint as ckpt
     from ..train.grid import VmappedGridRunner, slice_state
 
-    all_cells = [(t, lr) for t in range(ntrial) for lr in lr_set]
+    trial_list = (list(args.trial_set) if args.trial_set is not None
+                  else list(range(ntrial)))
+    all_cells = [(t, lr) for t in trial_list for lr in lr_set]
 
     def adapt(it):
         for wave, gt in it:
