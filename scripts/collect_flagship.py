@@ -22,41 +22,46 @@ def main():
         row = {"no_train_mae": floors[task]["mae_test"],
                "unit": floors[task]["unit"]}
         for mode in ("finetune", "lineareval", "scratchlow"):
-            d = os.path.join(base, f"{task}_{mode}")
-            p = os.path.join(d, "results.json")
-            if os.path.exists(p):
-                with open(p) as f:
-                    r = json.load(f)
-                best = r["best"]
-                row[mode] = {"best_cfg": best,
-                             "mean_val_mae": r["summary"][best]["mean_val_mae"],
-                             "test_mae": r["summary"][best]["mean_test_mae"]}
-                continue
-            # run killed before the final dump: recover finished chunks.
-            # Selection rule unchanged (best mean val MAE over trials of a
-            # (bs, lr) config), just over the cells that completed.
-            pp = os.path.join(d, "results.partial.json")
-            if not os.path.exists(pp):
+            # merge cells from the main run dir plus any per-trial-subset
+            # reruns (<task>_<mode>_t*): grid cells are independent, keyed
+            # by their true trial index, so they compose into one grid.
+            # Finished-chunk partials stand in when a run was killed
+            # before its final dump.
+            cells = {}
+            sources = []
+            prefix = f"{task}_{mode}"
+            for name in sorted(os.listdir(base)):
+                if name != prefix and not name.startswith(prefix + "_t"):
+                    continue
+                d = os.path.join(base, name)
+                p = os.path.join(d, "results.json")
+                pp = os.path.join(d, "results.partial.json")
+                if os.path.exists(p):
+                    with open(p) as f:
+                        cells.update(json.load(f)["cells"])
+                    sources.append(name)
+                elif os.path.exists(pp):
+                    with open(pp) as f:
+                        cells.update(json.load(f))
+                    sources.append(name + " (partial)")
+            if not cells:
                 row[mode] = None
                 continue
-            with open(pp) as f:
-                cells = json.load(f)
+            # reference selection rule: best (bs, lr) config by mean val
+            # MAE over its completed trials
             bycfg = {}
             for c in cells.values():
-                bycfg.setdefault(f"bs{c['bs']}_lr{c['lr']:g}",
-                                 []).append(c)
-            if not bycfg:
-                row[mode] = None
-                continue
+                bycfg.setdefault(f"bs{c['bs']}_lr{c['lr']:g}", []).append(c)
             summ = {k: {"mean_val_mae": sum(x["val_mae"] for x in v) / len(v),
                         "mean_test_mae": sum(x["test_mae"] for x in v) / len(v),
-                        "ntrials_done": len(v)}
+                        "ntrials": len(v)}
                     for k, v in bycfg.items()}
             best = min(summ, key=lambda k: summ[k]["mean_val_mae"])
             row[mode] = {"best_cfg": best,
                          "mean_val_mae": summ[best]["mean_val_mae"],
                          "test_mae": summ[best]["mean_test_mae"],
-                         "partial": True}
+                         "ntrials": summ[best]["ntrials"],
+                         "sources": sources}
         ft, sc = row.get("finetune"), row.get("scratchlow")
         if ft and sc:
             row["finetune_beats_scratch"] = ft["test_mae"] < sc["test_mae"]
