@@ -400,7 +400,8 @@ def main(argv=None):
             "gives each trial its own rooms — use the sequential grid")
         results = _grid_vmapped(args, model, feat_cfg, fresh_state,
                                 make_batches, lr_set, bs_set[0], ntrial,
-                                root_key, dlabel)
+                                root_key, dlabel, nsample=nsample,
+                                train_num=train_num)
 
     for trial, bs, lr in (() if args.grid_vmap else
                           itertools.product(range(ntrial), bs_set, lr_set)):
@@ -517,7 +518,8 @@ def main(argv=None):
 
 
 def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
-                  bs, ntrial, root_key, dlabel):
+                  bs, ntrial, root_key, dlabel, nsample=None,
+                  train_num=None):
     """All (trial, lr) cells as lanes of vmapped programs (train/grid.py),
     chunked to --grid-chunk lanes per program so the stacked f32 states +
     the on-device ensemble ring fit HBM; reproduces the sequential per-cell
@@ -536,6 +538,21 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
         for wave, gt in it:
             g = gt[args.ds_task] if isinstance(gt, dict) else gt
             yield np.asarray(wave), np.asarray(g, np.float32)
+
+    # device-resident training data for the packed single-process path:
+    # the whole split stays in HBM across chunks and epochs send only
+    # index batches (KBs instead of 100s of MB of h2d per epoch)
+    pds_res, waves_dev = None, None
+    if (args.data_dir and not args.real_sig_dir and not args.rir_dir
+            and not args.sim_rir_dir and not args.synthetic
+            and nsample is not None and train_num is not None
+            and jax.process_count() == 1):
+        from ..data import PackedDataset, is_packed
+        if is_packed(args.data_dir):
+            pds_res = PackedDataset(args.data_dir, load_anno=True)
+            waves_dev = jax.device_put(pds_res.all_waves(nsample))
+            print(f"staged {len(pds_res)} train utts "
+                  f"({waves_dev.nbytes / 1e6:.0f} MB) on device", flush=True)
 
     results = {}
     nchunk = max(1, args.grid_chunk)
@@ -574,22 +591,47 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
         staged_val = runner.stage_eval_blocks(adapt(make_batches("val",
                                                                 bs, 1)))
 
+        if waves_dev is not None:
+            runner.stage_train_waves(waves_dev)
+
         for epoch in range(args.epochs):
-            streams = {t: adapt(make_batches("train", bs,
-                                             args.seed + t * 1000 + epoch,
-                                             t))
-                       for t in trials}
-
-            def stacked(streams=streams):
-                for per_trial in zip(*streams.values()):
-                    by_t = dict(zip(streams.keys(), per_trial))
-                    yield (np.stack([by_t[t][0] for t in trials]),
-                           np.stack([by_t[t][1] for t in trials]))
-
             rngs = [jax.random.fold_in(root_key, 7000 + epoch + t * 100_000)
                     for t, _ in cells]
             t0 = time.time()
-            tm = runner.train_epoch(stacked(), rngs)
+            if waves_dev is not None:
+                # same permutation seeds as make_batches' packed path ->
+                # identical batches, but gathered on device by index
+                nb = max(1, train_num // bs)
+                acol = pds_res.annos()[args.ds_task]
+                idx_streams = {
+                    t: itertools.islice(
+                        pds_res.batch_indices(bs, shuffle=True,
+                                              seed=args.seed + t * 1000
+                                              + epoch), nb)
+                    for t in trials}
+
+                def stacked_idx(idx_streams=idx_streams, acol=acol):
+                    for per_trial in zip(*idx_streams.values()):
+                        by_t = dict(zip(idx_streams.keys(), per_trial))
+                        yield (np.stack([by_t[t] for t in trials]),
+                               np.stack([np.asarray(acol[by_t[t]],
+                                                    np.float32)
+                                         for t in trials]))
+
+                tm = runner.train_epoch_resident(stacked_idx(), rngs)
+            else:
+                streams = {t: adapt(make_batches("train", bs,
+                                                 args.seed + t * 1000
+                                                 + epoch, t))
+                           for t in trials}
+
+                def stacked(streams=streams):
+                    for per_trial in zip(*streams.values()):
+                        by_t = dict(zip(streams.keys(), per_trial))
+                        yield (np.stack([by_t[t][0] for t in trials]),
+                               np.stack([by_t[t][1] for t in trials]))
+
+                tm = runner.train_epoch(stacked(), rngs)
             t1 = time.time()
             vm = runner.eval_epoch_staged(staged_val)
             t2 = time.time()

@@ -138,6 +138,38 @@ class PackedDataset:
         return wave, {k: np.asarray(a[k][idx], np.float32)
                       for k in self.anno_keys}
 
+    def batch_indices(self, batch_size: int, shuffle: bool = False,
+                      seed: int = 0, drop_last: bool = True,
+                      shard_i: int = 0, shard_n: int = 1) -> Iterator:
+        """The index sequence behind ``iter_batches`` — one sorted (nb,)
+        int array per batch. Exposed so device-resident training (the
+        whole split staged in HBM, per-epoch index gathers) draws the
+        EXACT batches the streaming path would."""
+        order = np.arange(self.n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        chunk = batch_size * shard_n
+        if drop_last:
+            order = order[: (len(order) // chunk) * chunk]
+        order = order[shard_i::shard_n]
+        for lo in range(0, len(order), batch_size):
+            idxs = order[lo: lo + batch_size]
+            if len(idxs) < batch_size and drop_last:
+                break
+            yield np.sort(idxs)  # sorted gather: sequential page access
+
+    def all_waves(self, nsample: Optional[int] = None) -> np.ndarray:
+        """Materialize every waveform, head-cropped to nsample — the
+        device-resident staging source (one contiguous (n, ns, nch)
+        array)."""
+        ns = self.meta["nsample"] if nsample is None else nsample
+        out = np.empty((self.n, ns, self.meta["nch"]), np.float32)
+        for s in range(self.meta["nshards"]):
+            sh = self._shard(s)
+            lo = s * self.ips
+            out[lo: lo + sh.shape[0]] = sh[:, :ns]
+        return out
+
     def iter_batches(self, batch_size: int, shuffle: bool = False,
                      seed: int = 0, drop_last: bool = True,
                      shard_i: int = 0, shard_n: int = 1) -> Iterator:
@@ -147,19 +179,9 @@ class PackedDataset:
         i::n of the (shuffled) order, trimmed so every host yields the
         same number of equal-size batches (parallel/hostdata.py contract).
         """
-        order = np.arange(self.n)
-        if shuffle:
-            np.random.default_rng(seed).shuffle(order)
-        chunk = batch_size * shard_n
-        if drop_last:
-            order = order[: (len(order) // chunk) * chunk]
-        order = order[shard_i::shard_n]
         a = self.annos() if self.load_anno else None
-        for lo in range(0, len(order), batch_size):
-            idxs = order[lo: lo + batch_size]
-            if len(idxs) < batch_size and drop_last:
-                break
-            idxs = np.sort(idxs)  # sorted gather: sequential page access
+        for idxs in self.batch_indices(batch_size, shuffle, seed,
+                                       drop_last, shard_i, shard_n):
             waves = np.empty((len(idxs), self.meta["nsample"],
                               self.meta["nch"]), np.float32)
             s_of = idxs // self.ips

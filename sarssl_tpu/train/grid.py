@@ -110,7 +110,32 @@ def make_scanned_downstream_steps(model, feat_cfg: FeatureConfig,
         _, (losses, maes) = jax.lax.scan(step, None, (waves, gts))
         return losses.sum(0), maes.sum(0)
 
-    return (jax.jit(train_block, donate_argnums=(0,)), jax.jit(eval_block))
+    def train_block_resident(states, rngs, waves_all, idx, gts, lrs):
+        """Like train_block, but the waveforms live on device for the
+        whole run (waves_all (ndata, ns, nch)) and the scan consumes only
+        (k, S, bs) int32 index batches — per-epoch h2d drops from
+        hundreds of MB to KB, which also sidesteps the axon client's
+        staging-buffer growth that thrashed >130-epoch runs."""
+        def step(carry, xt):
+            st, r = carry
+            ib, g = xt
+            w = jnp.take(waves_all, ib.reshape(-1), axis=0)
+            w = w.reshape(ib.shape + waves_all.shape[1:])
+            if slots is not None:
+                w = jnp.take(w, slots, axis=0)
+                g = jnp.take(g, slots, axis=0)
+            split = jax.vmap(jax.random.split)(r)
+            r2, subs = split[:, 0], split[:, 1]
+            st, m = vtrain(st, w, g, lrs, subs)
+            return (st, r2), (m["loss"], m["mae"])
+
+        (states, rngs), (losses, maes) = jax.lax.scan(
+            step, (states, rngs), (idx, gts))
+        return states, rngs, losses.sum(0), maes.sum(0)
+
+    return (jax.jit(train_block, donate_argnums=(0,)),
+            jax.jit(eval_block),
+            jax.jit(train_block_resident, donate_argnums=(0,)))
 
 
 def _blocks(batches: Iterable, k: int):
@@ -156,9 +181,11 @@ class VmappedGridRunner:
                  scan_block: int = 25, lane_slots=None):
         self.scan_block = scan_block
         self.lane_slots = lane_slots
-        self.train_block, self.eval_block = make_scanned_downstream_steps(
+        (self.train_block, self.eval_block,
+         self.train_block_resident) = make_scanned_downstream_steps(
             model, feat_cfg, task, trainable_mask, dlabel,
             lane_slots=lane_slots)
+        self.resident_waves = None
         self.states = stack_states(list(init_states))
         self.cells = [
             _Cell(lr=lr, trial=t, name=f"trial{t}_lr{lr:g}",
@@ -229,6 +256,34 @@ class VmappedGridRunner:
             losses.append(ls)
             maes.append(ms)
             n += waves.shape[0]
+        loss = np.sum([np.asarray(x) for x in losses], axis=0) / max(n, 1)
+        mae = np.sum([np.asarray(x) for x in maes], axis=0) / max(n, 1)
+        return {"loss": loss, "mae": mae}
+
+    def stage_train_waves(self, waves_all) -> None:
+        """device_put the whole train split once (accepts an already
+        device-resident array so chunks can share one staging);
+        train_epoch_resident then consumes only index batches."""
+        self.resident_waves = (
+            waves_all if isinstance(waves_all, jax.Array)
+            else jax.device_put(np.asarray(waves_all, np.float32)))
+
+    def train_epoch_resident(self, idx_batches: Iterable,
+                             epoch_rngs: Sequence) -> Dict[str, np.ndarray]:
+        """idx_batches yields per-step (idx (S,bs) int32, gts (S,bs[,d]));
+        rows gather from the staged split on device. Same key chain and
+        metrics as train_epoch."""
+        assert self.resident_waves is not None, "call stage_train_waves"
+        rngs = jnp.stack(list(epoch_rngs))
+        lrs = self._lrs()
+        losses, maes, n = [], [], 0
+        for idx, gts in _blocks(idx_batches, self.scan_block):
+            self.states, rngs, ls, ms = self.train_block_resident(
+                self.states, rngs, self.resident_waves,
+                idx.astype(np.int32), gts, lrs)
+            losses.append(ls)
+            maes.append(ms)
+            n += idx.shape[0]
         loss = np.sum([np.asarray(x) for x in losses], axis=0) / max(n, 1)
         mae = np.sum([np.asarray(x) for x in maes], axis=0) / max(n, 1)
         return {"loss": loss, "mae": mae}

@@ -173,6 +173,38 @@ def test_e2e_pretrain_ckpt_into_downstream(tmp_path):
     assert "head_proj" in ds_params and "head_proj" not in pre_params
 
 
+def test_e2e_packed_grid_vmap_resident(tmp_path):
+    """gen_simu -> pack_data -> grid-vmap downstream: the packed
+    single-process path stages the split on device and trains by index
+    gather (the flagship configuration, CPU-sized)."""
+    import json
+    from sarssl_tpu.cli.gen_simu import main as gen_main
+    from sarssl_tpu.cli.pack_data import main as pack_main
+    from sarssl_tpu.cli.run_downstream import main as ds_main
+
+    d = str(tmp_path / "data")
+    pk = str(tmp_path / "packed")
+    e = str(tmp_path / "exp")
+    rc = gen_main(["--mode", "sig", "--stage", "train", "--data-num", "6",
+                   "--save-dir", d, "--workers", "0", "--T", "1.04",
+                   "--noise", "spatial_white", "--t60-range", "0.3", "0.5",
+                   "--room-x", "4", "6", "--room-y", "4", "6",
+                   "--room-z", "2.5", "3"])
+    assert rc in (0, None)
+    rc = pack_main(["--data-dir", d, "--out", pk])
+    assert rc in (0, None)
+    rc = ds_main(["--ds-train", "--cpu", "--ds-task", "T60", "--T", "1.04",
+                  "--grid-vmap", "--scan-block", "2", "--data-dir", pk,
+                  "--exp-dir", e, "--epochs", "2", "--lr-set", "0.001",
+                  "--bs-set", "2", "--ntrial", "1", "--train-num", "4",
+                  "--val-num", "4", "--test-num", "4", "--workers", "0"])
+    assert rc in (0, None)
+    payload = json.loads((tmp_path / "exp" / "results.json").read_text())
+    assert payload["cells"], payload
+    assert all(np.isfinite(c["test_mae"])
+               for c in payload["cells"].values())
+
+
 def test_grid_vmap_time_budget_still_writes_results(tmp_path):
     """--time-budget ends the grid-vmap epoch loop gracefully: the run
     must stop after the first epoch (budget ~0), yet still ensemble, run

@@ -125,6 +125,71 @@ def test_vmapped_grid_matches_sequential_behavior():
         np.testing.assert_allclose(vm_losses[i], seq_losses[i], rtol=2e-2)
 
 
+def test_resident_train_epoch_matches_stream(tmp_path):
+    """Device-resident index-gather training draws the EXACT batches the
+    packed streaming path yields (same permutation seeds, same sorted
+    gathers) and produces identical per-cell losses from the same init."""
+    from sarssl_tpu.data import PackedDataset, pack_dataset
+
+    rng = np.random.default_rng(3)
+    n, bs, nsteps = 24, 4, 3
+
+    class _Src:
+        def __len__(self):
+            return n
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(1000 + i)
+            return (r.standard_normal((NSAMPLE, 2)).astype(np.float32),
+                    {"TDOA": np.float32(r.uniform(-2e-4, 2e-4))})
+
+    d = str(tmp_path / "packed")
+    pack_dataset(_Src(), d, items_per_shard=7)
+    pds = PackedDataset(d, load_anno=True)
+
+    model, state0 = _init_state()
+    key0 = jax.random.key(9)
+    seeds = {0: 42, 1: 77}  # per-trial epoch permutation seeds
+
+    def run(runner, use_resident):
+        acol = pds.annos()["TDOA"]
+        if use_resident:
+            runner.stage_train_waves(pds.all_waves())
+
+            def batches():
+                its = {t: pds.batch_indices(bs, shuffle=True, seed=s)
+                       for t, s in seeds.items()}
+                for k, per in zip(range(nsteps), zip(*its.values())):
+                    by_t = dict(zip(its.keys(), per))
+                    yield (np.stack([by_t[0], by_t[1]]),
+                           np.stack([np.asarray(acol[by_t[t]], np.float32)
+                                     for t in (0, 1)]))
+            return runner.train_epoch_resident(batches(), [key0, key0])
+
+        def batches():
+            its = {t: pds.iter_batches(bs, shuffle=True, seed=s)
+                   for t, s in seeds.items()}
+            for k, per in zip(range(nsteps), zip(*its.values())):
+                by_t = dict(zip(its.keys(), per))
+                yield (np.stack([by_t[0][0], by_t[1][0]]),
+                       np.stack([np.asarray(by_t[t][1]["TDOA"], np.float32)
+                                 for t in (0, 1)]))
+        return runner.train_epoch(batches(), [key0, key0])
+
+    cells = [(0, 1e-3), (1, 1e-3)]
+    r1 = VmappedGridRunner(model, FEAT, [state0, state0], cells,
+                           patience=100, scan_block=2)
+    m1 = run(r1, False)
+    r2 = VmappedGridRunner(model, FEAT, [state0, state0], cells,
+                           patience=100, scan_block=2)
+    m2 = run(r2, True)
+    np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=1e-6)
+    np.testing.assert_allclose(m1["mae"], m2["mae"], rtol=1e-6)
+    for x, y in zip(jax.tree.leaves(r1.states.params),
+                    jax.tree.leaves(r2.states.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-6)
+
+
 def test_device_ring_ensemble_math():
     """The on-device window average equals the reference's uniform mean of
     the last k epochs ending at the best, and non-best epochs don't fold."""
