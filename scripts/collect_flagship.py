@@ -22,16 +22,18 @@ def main():
         row = {"no_train_mae": floors[task]["mae_test"],
                "unit": floors[task]["unit"]}
         for mode in ("finetune", "lineareval", "scratchlow"):
-            # merge cells from the main run dir plus any per-trial-subset
-            # reruns (<task>_<mode>_t*): grid cells are independent, keyed
-            # by their true trial index, so they compose into one grid.
+            # merge cells from the main run dir plus any rerun dirs
+            # (<task>_<mode>_<suffix>, e.g. _t01 trial subsets or _full):
+            # grid cells are independent, keyed by their true trial index,
+            # so they compose into one grid; sorted order means later
+            # (rerun) dirs override a cell from an earlier degraded run.
             # Finished-chunk partials stand in when a run was killed
             # before its final dump.
             cells = {}
             sources = []
             prefix = f"{task}_{mode}"
             for name in sorted(os.listdir(base)):
-                if name != prefix and not name.startswith(prefix + "_t"):
+                if name != prefix and not name.startswith(prefix + "_"):
                     continue
                 d = os.path.join(base, name)
                 p = os.path.join(d, "results.json")
