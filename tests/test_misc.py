@@ -63,3 +63,59 @@ def test_step_timer():
         t.stop()
     s = t.summary(items_per_step=10)
     assert s["items_per_sec"] > 0 and s["mean_ms"] >= 0
+
+
+def test_collect_flagship_merges_rerun_dirs(tmp_path, monkeypatch):
+    """collect_flagship composes one grid from the main run dir plus any
+    <task>_<mode>_<suffix> rerun dirs: sorted order lets a clean rerun
+    override cells a degraded earlier run produced, finished-chunk
+    partials stand in for killed runs, and the best (bs, lr) config is
+    picked by mean val MAE over its merged trials."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    cf = importlib.import_module("collect_flagship")
+
+    base = tmp_path / "exp" / "ds_r3"
+    base.mkdir(parents=True)
+    (base / "wo_info_baselines.json").write_text(json.dumps(
+        {"TDOA": {"mae_test": 3.0, "unit": "samples"},
+         "T60": {"mae_test": 0.2, "unit": "s"}}))
+
+    def cell(trial, lr, val, test):
+        return {f"trial{trial}_bs8_lr{lr:g}": {
+            "val_mae": val, "test_mae": test, "lr": lr, "bs": 8,
+            "trial": trial}}
+
+    # main dir: killed run, only a partial with a degraded trial-0 cell
+    d = base / "TDOA_finetune"
+    d.mkdir()
+    (d / "results.partial.json").write_text(json.dumps(
+        cell(0, 1e-3, 9.0, 9.0)))
+    # clean rerun of trial 0 (must override) + a _full-suffix dir (trial 1)
+    d = base / "TDOA_finetune_t0r"
+    d.mkdir()
+    (d / "results.json").write_text(json.dumps(
+        {"cells": cell(0, 1e-3, 0.4, 0.41)}))
+    d = base / "TDOA_finetune_full"
+    d.mkdir()
+    (d / "results.json").write_text(json.dumps(
+        {"cells": cell(1, 1e-3, 0.6, 0.59)}))
+    d = base / "TDOA_scratchlow"
+    d.mkdir()
+    (d / "results.json").write_text(json.dumps(
+        {"cells": {**cell(0, 1e-3, 0.8, 0.82), **cell(1, 1e-3, 0.7, 0.7)}}))
+
+    monkeypatch.setattr(cf, "REPO", str(tmp_path))
+    cf.main()
+    out = json.loads((base / "summary.json").read_text())
+
+    ft = out["TDOA"]["finetune"]
+    assert ft["ntrials"] == 2 and ft["best_cfg"] == "bs8_lr0.001"
+    # trial 0 comes from the rerun (0.41), not the degraded partial (9.0)
+    assert abs(ft["test_mae"] - (0.41 + 0.59) / 2) < 1e-9
+    assert out["TDOA"]["finetune_beats_scratch"] is True
+    assert out["TDOA"]["scratch_beats_no_train"] is True
+    assert out["T60"]["finetune"] is None
