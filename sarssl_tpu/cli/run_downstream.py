@@ -23,6 +23,17 @@ import time
 import numpy as np
 
 
+def fixed_train_subset(args, n, num, trial):
+    """Per-trial fixed training rows for --fixed-train-subset: a
+    deterministic, epoch-independent draw of num rows from the packed
+    split, disjoint-seeded per trial (so trials differ by data subset,
+    the reference's rooms-per-trial semantics). None = whole split."""
+    if not getattr(args, "fixed_train_subset", False) or num >= n:
+        return None
+    rng = np.random.default_rng(args.seed + 555_000 + trial)
+    return np.sort(rng.permutation(n)[:num])
+
+
 def build_parser():
     p = argparse.ArgumentParser("sarssl_tpu downstream")
     p.add_argument("--ds-train", action="store_true")
@@ -89,6 +100,15 @@ def build_parser():
                         "TDOA, 4.112 otherwise)")
     p.add_argument("--val-num", type=int, default=1000)
     p.add_argument("--test-num", type=int, default=4000)
+    p.add_argument("--fixed-train-subset", action="store_true",
+                   help="packed dirs: train each trial on a FIXED "
+                        "train-num-row subset of the split (per-trial "
+                        "deterministic draw) instead of resampling "
+                        "train-num rows from the whole split every epoch. "
+                        "Use for low-label experiments where the number "
+                        "of distinct supervised examples is the variable "
+                        "under study (reference opt.py:205-214 fixes "
+                        "nsimroom*100 signals per trial)")
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--grid-vmap", action="store_true",
                    help="run every (trial, lr) grid cell as one lane of a "
@@ -366,12 +386,15 @@ def main(argv=None):
             pds = PackedDataset(data_dir, load_anno=True)
             num = {"train": train_num, "val": args.val_num,
                    "test": args.test_num}[split]
+            subset = (fixed_train_subset(args, pds.n, num, trial)
+                      if split == "train" else None)
 
             def gen_packed():
                 # one SHARED permutation (seed0) across hosts: shard_i/shard_n
                 # hand out disjoint rows; a per-host seed would break that
                 it = pds.iter_batches(bs, shuffle=split == "train",
-                                      seed=seed0, shard_i=pi, shard_n=pc)
+                                      seed=seed0, shard_i=pi, shard_n=pc,
+                                      subset=subset)
                 for w, lab in itertools.islice(it, max(1, num // (bs * pc))):
                     yield w[:, :nsample], lab
             return gen_packed()
@@ -605,9 +628,11 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
                 acol = pds_res.annos()[args.ds_task]
                 idx_streams = {
                     t: itertools.islice(
-                        pds_res.batch_indices(bs, shuffle=True,
-                                              seed=args.seed + t * 1000
-                                              + epoch), nb)
+                        pds_res.batch_indices(
+                            bs, shuffle=True,
+                            seed=args.seed + t * 1000 + epoch,
+                            subset=fixed_train_subset(args, pds_res.n,
+                                                      train_num, t)), nb)
                     for t in trials}
 
                 def stacked_idx(idx_streams=idx_streams, acol=acol):

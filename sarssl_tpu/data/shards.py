@@ -140,12 +140,18 @@ class PackedDataset:
 
     def batch_indices(self, batch_size: int, shuffle: bool = False,
                       seed: int = 0, drop_last: bool = True,
-                      shard_i: int = 0, shard_n: int = 1) -> Iterator:
+                      shard_i: int = 0, shard_n: int = 1,
+                      subset: Optional[np.ndarray] = None) -> Iterator:
         """The index sequence behind ``iter_batches`` — one sorted (nb,)
         int array per batch. Exposed so device-resident training (the
         whole split staged in HBM, per-epoch index gathers) draws the
-        EXACT batches the streaming path would."""
-        order = np.arange(self.n)
+        EXACT batches the streaming path would.
+
+        subset: restrict the index universe to these rows (e.g. a fixed
+        per-trial training subset); the per-epoch shuffle permutes within
+        it. Default is every row of the split."""
+        order = (np.arange(self.n) if subset is None
+                 else np.asarray(subset, np.int64).copy())
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         chunk = batch_size * shard_n
@@ -172,7 +178,8 @@ class PackedDataset:
 
     def iter_batches(self, batch_size: int, shuffle: bool = False,
                      seed: int = 0, drop_last: bool = True,
-                     shard_i: int = 0, shard_n: int = 1) -> Iterator:
+                     shard_i: int = 0, shard_n: int = 1,
+                     subset: Optional[np.ndarray] = None) -> Iterator:
         """Stream (wave (nb, nsample, nch)[, labels]) batches.
 
         shard_i/shard_n: pod-scale host sharding — host i reads rows
@@ -181,7 +188,8 @@ class PackedDataset:
         """
         a = self.annos() if self.load_anno else None
         for idxs in self.batch_indices(batch_size, shuffle, seed,
-                                       drop_last, shard_i, shard_n):
+                                       drop_last, shard_i, shard_n,
+                                       subset=subset):
             waves = np.empty((len(idxs), self.meta["nsample"],
                               self.meta["nch"]), np.float32)
             s_of = idxs // self.ips

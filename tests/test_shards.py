@@ -122,3 +122,35 @@ def test_mp_batch_iterator_matches_thread_loader():
         for j in range(4):
             idx = int(-float(lab["TDOA"][j]))
             np.testing.assert_array_equal(w[j], src[idx][0])
+
+
+def test_batch_indices_subset_restricts_universe(tmp_path):
+    """--fixed-train-subset semantics: with subset=rows, every epoch's
+    batches permute WITHIN those rows (low-label experiments train on a
+    fixed set, not a fresh draw from the whole split each epoch)."""
+    from sarssl_tpu.cli.run_downstream import fixed_train_subset
+
+    d = str(tmp_path / "pk")
+    pack_dataset(_Toy(n=32), d, items_per_shard=10)
+    ds = PackedDataset(d, load_anno=True)
+    rows = np.array([1, 3, 4, 7, 10, 13, 20, 31])
+    seen = set()
+    for epoch in range(5):
+        for b in ds.batch_indices(4, shuffle=True, seed=epoch,
+                                  subset=rows):
+            assert len(b) == 4
+            seen.update(int(i) for i in b)
+    assert seen == set(rows.tolist())
+
+    class A:
+        fixed_train_subset = True
+        seed = 100
+    s0 = fixed_train_subset(A(), 32, 8, trial=0)
+    s0b = fixed_train_subset(A(), 32, 8, trial=0)
+    s1 = fixed_train_subset(A(), 32, 8, trial=1)
+    np.testing.assert_array_equal(s0, s0b)     # epoch/process stable
+    assert len(s0) == 8 and not np.array_equal(s0, s1)  # per-trial draw
+    A.fixed_train_subset = False
+    assert fixed_train_subset(A(), 32, 8, trial=0) is None
+    A.fixed_train_subset = True
+    assert fixed_train_subset(A(), 32, 64, trial=0) is None  # num >= n
