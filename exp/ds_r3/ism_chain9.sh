@@ -1,0 +1,53 @@
+#!/bin/bash
+# Chain 9 — generator-gap experiment. The flagship pretrain used the
+# on-device synth generator (MTF-approximate tails) while the downstream
+# corpus is full ISM; TDOA finetune tied with scratch (README.md). This
+# chain pretrains on a 12,288-utt full-ISM packed corpus (same generator
+# as downstream, --resident staging) and reruns the full-label TDOA/T60
+# grids from that checkpoint. If the tie was the generator gap, TDOA
+# finetune should now separate from scratchlow (0.2301).
+# One chip owner: waits for chain8, then owns the chip.
+cd /root/repo
+
+echo "=== chain9 waiting for chain8 $(date) ==="
+while kill -0 $(cat /tmp/flagship_chain8.pid) 2>/dev/null; do sleep 60; done
+echo "=== chain8 gone; waiting for relay $(date) ==="
+while ! ss -tln 2>/dev/null | grep -q 8103; do sleep 60; done
+for i in 1 2 3; do
+  timeout 600 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((8, 8)); print('probe ok', float((x @ x).sum()))" && break
+  echo "probe attempt $i failed; retrying in 120s"; sleep 120
+done
+
+PKP=data/simu_pre_ism_packed
+echo "=== ism pretrain start $(date) ==="
+timeout 5400 python -m sarssl_tpu.cli.run_pretrain --pretrain --resident \
+    --fused-attention --bs 128 --epochs 80 \
+    --train-num 12288 --val-num 2048 \
+    --data-dir $PKP/pretrain --val-data-dir $PKP/preval \
+    --exp-dir exp/pretrain_r3_ism \
+    > exp/pretrain_r3_ism.log 2>&1 || echo "FAILED ism pretrain"
+echo "=== ism pretrain end $(date) ==="
+
+PK=data/simu_ds_packed
+CKPT=exp/pretrain_r3_ism/checkpoints
+run() {  # task mode chunk budget tmo extra...
+  task=$1; mode=$2; chunk=$3; budget=$4; tmo=$5; shift 5
+  args=(--ds-train --ds-task $task --ds-trainmode $mode --grid-vmap
+        --grid-chunk $chunk --scan-block 25 --time-budget $budget
+        --trial-set 0 1 2 3
+        --data-dir $PK/train --val-data-dir $PK/val --test-data-dir $PK/test
+        --epochs 200 --train-num 800 --val-num 1000 --test-num 4000
+        --workers 0 --pretrain-ckpt $CKPT
+        --exp-dir exp/ds_r3/ism/${task}_${mode} "$@")
+  echo "=== ism $task $mode start $(date) ==="
+  timeout $tmo python -m sarssl_tpu.cli.run_downstream "${args[@]}" \
+    > exp/ds_r3/ism/${task}_${mode}.log 2>&1 || echo "FAILED $task $mode"
+  echo "=== ism $task $mode end $(date) ==="
+}
+mkdir -p exp/ds_r3/ism
+run TDOA finetune   8 3200 5400
+run T60  finetune   4 4000 6600 --T 4.112
+run TDOA lineareval 8 3200 5400
+echo CHAIN9_DONE $(date)

@@ -76,6 +76,11 @@ def build_parser():
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--mesh", type=str, default=None,
                    help="'DxM' data x model mesh, e.g. 8x1")
+    p.add_argument("--resident", action="store_true",
+                   help="stage the packed train/val splits in device memory "
+                        "once and feed epochs by on-device index gathers "
+                        "(~KBs of h2d per epoch instead of the whole corpus; "
+                        "single-process, packed --data-dir only)")
     return p
 
 
@@ -100,7 +105,9 @@ def main(argv=None):
 
     if args.smoke:
         args.pretrain = True
-        args.synthetic = True
+        # an explicit data source still wins under --smoke (tiny-model
+        # drives of the packed/device-synth paths)
+        args.synthetic = not (args.data_dir or args.device_synth)
         args.epochs = min(args.epochs, 2)
         args.bs = 4
         args.train_num = 16
@@ -216,7 +223,46 @@ def main(argv=None):
     assert args.bs % pc == 0, (args.bs, pc)
     local_bs = args.bs // pc
 
+    # --resident: the whole packed split lives in HBM; epochs send only
+    # int32 index batches. Repeated-epoch streaming through the axon
+    # tunnel grows the client's h2d staging footprint until the host
+    # thrashes (measured: scripts/README.md, train/grid.py does the same
+    # for downstream grids).
+    resident_waves = None
+    if args.resident:
+        from ..data import PackedDataset, is_packed
+        assert pc == 1 and not args.mesh, \
+            "--resident is a single-process, unsharded path"
+        assert not (args.device_synth or args.synthetic or real_mix), \
+            "--resident needs a packed --data-dir corpus"
+        assert args.data_dir and is_packed(args.data_dir), \
+            f"--resident needs a packed --data-dir (cli/pack_data.py): " \
+            f"{args.data_dir}"
+        vdir = args.val_data_dir or args.data_dir
+        assert is_packed(vdir), f"--resident val dir is not packed: {vdir}"
+        pds_t = PackedDataset(args.data_dir, load_anno=False)
+        pds_v = (pds_t if vdir == args.data_dir
+                 else PackedDataset(vdir, load_anno=False))
+        resident_waves = {"train": (pds_t, jax.device_put(
+                              pds_t.all_waves(nsample)))}
+        resident_waves["val"] = (resident_waves["train"]
+                                 if pds_v is pds_t else
+                                 (pds_v, jax.device_put(
+                                     pds_v.all_waves(nsample))))
+        gather = jax.jit(lambda w, i: w[i])
+
     def make_batches(split, epoch):
+        if resident_waves is not None:
+            import itertools
+            pds, waves = resident_waves["train" if split == "train"
+                                        else "val"]
+            num = args.train_num if split == "train" else args.val_num
+            # the EXACT batches the streaming packed path below would draw
+            # (same batch_indices stream; parity pinned by test)
+            it = pds.batch_indices(local_bs, shuffle=split == "train",
+                                   seed=args.seed + epoch)
+            it = itertools.islice(it, max(1, num // args.bs))
+            return (gather(waves, jnp.asarray(i)) for i in it)
         if args.device_synth:
             assert pc == 1, ("--device-synth is single-process; use the "
                              "file/synthetic pipelines for pod runs")
@@ -290,7 +336,7 @@ def main(argv=None):
 
     def prefetched(split, epoch):
         it = make_batches(split, epoch)
-        if args.device_synth:
+        if args.device_synth or resident_waves is not None:
             return it  # already device-resident
         if b_shard is not None and jax.process_count() > 1:
             from ..parallel import host_batch_iterator

@@ -156,6 +156,13 @@ class PackedDataset:
             np.random.default_rng(seed).shuffle(order)
         chunk = batch_size * shard_n
         if drop_last:
+            if 0 < len(order) < chunk:
+                # e.g. --fixed-train-subset with train_num < bs: silently
+                # yielding zero batches would report an untrained model
+                raise ValueError(
+                    f"index universe of {len(order)} rows yields no full "
+                    f"batch (batch_size {batch_size} x {shard_n} hosts) — "
+                    f"shrink the batch size or grow the subset")
             order = order[: (len(order) // chunk) * chunk]
         order = order[shard_i::shard_n]
         for lo in range(0, len(order), batch_size):

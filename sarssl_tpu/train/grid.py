@@ -375,8 +375,22 @@ class VmappedGridRunner:
         window ending at the final best, the reference's
         [best-k+1 .. best]."""
         self.finalize()
-        assert all(c.best_epochs for c in self.cells), (
-            "a cell never registered a best epoch (end_epoch not called?)")
-        self.states = self.states.replace(params=self._cand_p,
-                                          batch_stats=self._cand_b)
+        # A lane that never improved (e.g. diverged to NaN val MAE from
+        # epoch 0) has no folded candidate — fall back to its live final
+        # state instead of poisoning the healthy lanes' results (the
+        # sequential learner's `best = ... else current epoch` fallback).
+        has_best = np.array([bool(c.best_epochs) for c in self.cells])
+        if has_best.all():
+            cand_p, cand_b = self._cand_p, self._cand_b
+        else:
+            m = jnp.asarray(has_best)
+
+            def sel(c, live):
+                return jnp.where(m.reshape((-1,) + (1,) * (c.ndim - 1)),
+                                 c, live)
+            cand_p = jax.tree.map(sel, self._cand_p, self.states.params)
+            cand_b = jax.tree.map(sel, self._cand_b,
+                                  self.states.batch_stats)
+        self.states = self.states.replace(params=cand_p,
+                                          batch_stats=cand_b)
         return self.states

@@ -76,8 +76,6 @@ def cross_validation_datadirs(room_dirs: Sequence[str], with_val: bool = False,
     {'train': [...], 'test': [dir]} per held-out room; with ``with_val``
     one of the remaining rooms becomes the val room (the reference draws
     it with the global RNG — here a seeded, process-stable Generator)."""
-    import numpy as np
-
     rooms = list(room_dirs)
     rng = np.random.default_rng((seed, 0xCF))
     for i, test_room in enumerate(rooms):

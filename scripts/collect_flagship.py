@@ -13,9 +13,18 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
+def main(argv=None):
+    # --base: a campaign dir of <task>_<mode>[ _suffix] run dirs (e.g.
+    # exp/ds_r3/lowdata, exp/ds_r3/ism); floors fall back to the parent's
+    # wo_info_baselines.json (same held-out test split → same floors)
+    args = (argv if argv is not None else sys.argv[1:])
     base = os.path.join(REPO, "exp", "ds_r3")
-    with open(os.path.join(base, "wo_info_baselines.json")) as f:
+    if "--base" in args:
+        base = os.path.abspath(args[args.index("--base") + 1])
+    fp = os.path.join(base, "wo_info_baselines.json")
+    if not os.path.exists(fp):
+        fp = os.path.join(os.path.dirname(base), "wo_info_baselines.json")
+    with open(fp) as f:
         floors = json.load(f)
     out = {}
     for task in ("TDOA", "T60"):

@@ -120,7 +120,7 @@ def main():
     K = 25
     NTRIAL = 4
     lane_slots = [c // 4 for c in range(NCELL)]  # 4 lr lanes per trial slot
-    strain, sev = make_scanned_downstream_steps(model, feat_cfg, task="TDOA",
+    strain, sev, _sres = make_scanned_downstream_steps(model, feat_cfg, task="TDOA",
                                                 lane_slots=lane_slots)
     sts2 = stack_states([st0] * NCELL)
     keys0 = jnp.stack([jax.random.fold_in(key, c) for c in range(NCELL)])

@@ -21,20 +21,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-PORT = 29517
+PORT = 29517  # default; the parent picks a free port and passes --port
 NPROC = 2
 LOCAL_DEV = 2
 LOCAL_BS = 4
 
 
-def rank_main(rank: int) -> int:
+def rank_main(rank: int, port: int = PORT) -> int:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={LOCAL_DEV}")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                                num_processes=NPROC, process_id=rank)
     assert jax.process_count() == NPROC
     assert jax.device_count() == NPROC * LOCAL_DEV
@@ -100,11 +100,24 @@ def rank_main(rank: int) -> int:
 
 def main() -> int:
     if "--rank" in sys.argv:
-        return rank_main(int(sys.argv[sys.argv.index("--rank") + 1]))
+        port = (int(sys.argv[sys.argv.index("--port") + 1])
+                if "--port" in sys.argv else PORT)
+        return rank_main(int(sys.argv[sys.argv.index("--rank") + 1]), port)
+    # pick a free coordinator port (a fixed one collides with TIME_WAIT
+    # from a previous run or a concurrent test session)
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     procs = [subprocess.Popen([sys.executable, os.path.abspath(__file__),
-                               "--rank", str(r)])
+                               "--rank", str(r), "--port", str(port)])
              for r in range(NPROC)]
-    rcs = [p.wait(timeout=1200) for p in procs]
+    try:
+        rcs = [p.wait(timeout=1200) for p in procs]
+    finally:
+        for p in procs:  # a dead partner must not leave the other hanging
+            if p.poll() is None:
+                p.kill()
     if any(rcs):
         print("FAILED", rcs)
         return 1

@@ -205,6 +205,43 @@ def test_e2e_packed_grid_vmap_resident(tmp_path):
                for c in payload["cells"].values())
 
 
+def test_pretrain_resident_matches_streaming(tmp_path):
+    """--resident (whole packed split staged on device, per-epoch index
+    gathers) must train bit-identically to the streaming packed path: the
+    same batch_indices stream drives both, so the best checkpoints agree
+    param-for-param."""
+    from flax.traverse_util import flatten_dict
+    from sarssl_tpu.cli.gen_simu import main as gen_main
+    from sarssl_tpu.cli.pack_data import main as pack_main
+    from sarssl_tpu.cli.run_pretrain import main as pre_main
+    from sarssl_tpu.train import checkpoint as ckpt
+
+    d = str(tmp_path / "data")
+    pk = str(tmp_path / "packed")
+    rc = gen_main(["--mode", "sig", "--stage", "train", "--data-num", "8",
+                   "--save-dir", d, "--workers", "0", "--T", "1.04",
+                   "--noise", "spatial_white", "--t60-range", "0.3", "0.5",
+                   "--room-x", "4", "6", "--room-y", "4", "6",
+                   "--room-z", "2.5", "3"])
+    assert rc in (0, None)
+    rc = pack_main(["--data-dir", d, "--out", pk])
+    assert rc in (0, None)
+
+    params = {}
+    for mode, extra in (("stream", []), ("resident", ["--resident"])):
+        e = str(tmp_path / f"exp_{mode}")
+        rc = pre_main(["--smoke", "--data-dir", pk, "--exp-dir", e] + extra)
+        assert rc in (0, None)
+        params[mode] = flatten_dict(ckpt.load_checkpoint(
+            ckpt.best_path(os.path.join(e, "checkpoints")))["params"])
+
+    assert params["stream"].keys() == params["resident"].keys()
+    for k in params["stream"]:
+        np.testing.assert_array_equal(
+            np.asarray(params["stream"][k]), np.asarray(params["resident"][k]),
+            err_msg=f"resident pretrain diverged from streaming at {k}")
+
+
 def test_grid_vmap_time_budget_still_writes_results(tmp_path):
     """--time-budget ends the grid-vmap epoch loop gracefully: the run
     must stop after the first epoch (budget ~0), yet still ensemble, run

@@ -268,3 +268,42 @@ def test_cell_lifecycle_and_ensemble():
     ens0 = np.asarray(jax.tree.leaves(slice_state(runner.states, 0).params)[0])
     assert not np.array_equal(ens0, ens1), \
         "cells ended with identical ensembles despite different life cycles"
+
+
+def test_nan_lane_falls_back_to_live_state():
+    """A lane that never registers a best (NaN val MAE every epoch, e.g. a
+    diverged high-lr cell) must not crash ensembled_states or poison the
+    healthy lanes: it falls back to its live final state, the healthy
+    lane keeps its folded window candidate."""
+    model, state0 = _init_state()
+    runner = VmappedGridRunner(model, FEAT, [state0, state0],
+                               [(0, 1e-3), (0, 1e-2)],
+                               patience=2, ensemble_k=2)
+    p0 = np.asarray(jax.tree.leaves(state0.params)[0])
+
+    # epoch 0: healthy lane improves (candidate = P0), NaN lane doesn't
+    runner.end_epoch(np.array([1.0, np.nan]))
+    # epoch 1: params drift; healthy lane improves again
+    runner.states = runner.states.replace(
+        params=jax.tree.map(lambda x: x + 1.0, runner.states.params))
+    done = runner.end_epoch(np.array([0.5, np.nan]))
+    # then the healthy lane WORSENS each epoch (a constant value would tie
+    # against the converged smoothed best forever — ties count as best,
+    # reference learner.py:287) until patience + lr-drop + patience ends it
+    mae, epoch = 0.5, 2
+    while not done:
+        assert epoch < 16, "grid never stopped on worsening val MAEs"
+        runner.states = runner.states.replace(
+            params=jax.tree.map(lambda x: x + 1.0, runner.states.params))
+        mae += 0.2
+        done = runner.end_epoch(np.array([mae, np.nan]))
+        epoch += 1
+
+    live = np.asarray(jax.tree.leaves(runner.states.params)[0])
+    st = runner.ensembled_states()  # must not raise
+    leaves = np.asarray(jax.tree.leaves(st.params)[0])
+    # NaN lane = live final params; healthy lane = a folded average,
+    # which after the +1 drifts cannot equal the live value
+    np.testing.assert_allclose(leaves[1], live[1], atol=1e-7)
+    assert not np.allclose(leaves[0], live[0])
+    assert runner.cells[0].best_epochs and not runner.cells[1].best_epochs

@@ -154,3 +154,13 @@ def test_batch_indices_subset_restricts_universe(tmp_path):
     assert fixed_train_subset(A(), 32, 8, trial=0) is None
     A.fixed_train_subset = True
     assert fixed_train_subset(A(), 32, 64, trial=0) is None  # num >= n
+
+
+def test_batch_indices_subset_smaller_than_batch_raises(tmp_path):
+    d = str(tmp_path / "pk")
+    pack_dataset(_Toy(n=16), d, items_per_shard=10)
+    ds = PackedDataset(d, load_anno=True)
+    import pytest
+    with pytest.raises(ValueError, match="no full batch"):
+        next(ds.batch_indices(8, shuffle=True, seed=0,
+                              subset=np.arange(4)))
