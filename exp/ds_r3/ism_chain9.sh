@@ -21,11 +21,18 @@ x = jnp.ones((8, 8)); print('probe ok', float((x @ x).sum()))" && break
 done
 
 PKP=data/simu_pre_ism_packed
-echo "=== ism pretrain start $(date) ==="
-timeout 5400 python -m sarssl_tpu.cli.run_pretrain --pretrain --resident \
-    --fused-attention --bs 128 --epochs 80 \
-    --train-num 12288 --val-num 2048 \
-    --data-dir $PKP/pretrain --val-data-dir $PKP/preval \
+# a second 12,288-utt tranche (gen_simu --idx0) may still be generating;
+# use the doubled corpus when its pack marker exists, else tranche 1
+if [ -d $PKP/pretrain2 ] && grep -q PACK_T2_DONE /tmp/gen_ism_t2.log 2>/dev/null; then
+  TRAIN_DIR=$PKP/pretrain2; NTRAIN=24576; NEP=60
+else
+  TRAIN_DIR=$PKP/pretrain; NTRAIN=12288; NEP=80
+fi
+echo "=== ism pretrain start $(date) dir=$TRAIN_DIR n=$NTRAIN ep=$NEP ==="
+timeout 7200 python -m sarssl_tpu.cli.run_pretrain --pretrain --resident \
+    --fused-attention --bs 128 --epochs $NEP \
+    --train-num $NTRAIN --val-num 2048 \
+    --data-dir $TRAIN_DIR --val-data-dir $PKP/preval \
     --exp-dir exp/pretrain_r3_ism \
     > exp/pretrain_r3_ism.log 2>&1 || echo "FAILED ism pretrain"
 echo "=== ism pretrain end $(date) ==="

@@ -34,6 +34,10 @@ def build_parser():
     p.add_argument("--stage", type=str, default="pretrain",
                    choices=list(STAGE_SEEDS))
     p.add_argument("--data-num", type=int, required=True)
+    p.add_argument("--idx0", type=int, default=0,
+                   help="first item index: generate items [idx0, "
+                        "idx0+data_num) so a later run can extend an "
+                        "existing tree with disjoint per-item seeds")
     p.add_argument("--save-dir", type=str, required=True)
     p.add_argument("--workers", type=int, default=os.cpu_count() or 4)
     p.add_argument("--T", type=float, default=4.112)
@@ -103,7 +107,7 @@ def main(argv=None):
         mic_vad=args.mic_vad, mode=args.mode)
 
     if args.workers <= 1:
-        for i in range(args.data_num):
+        for i in range(args.idx0, args.idx0 + args.data_num):
             work(i)
             if (i + 1) % 100 == 0:
                 print(f"{i + 1}/{args.data_num}")
@@ -111,7 +115,9 @@ def main(argv=None):
         ctx = mp.get_context("spawn")
         with ctx.Pool(args.workers) as pool:
             done = 0
-            for _ in pool.imap_unordered(work, range(args.data_num),
+            for _ in pool.imap_unordered(work,
+                                         range(args.idx0,
+                                               args.idx0 + args.data_num),
                                          chunksize=8):
                 done += 1
                 if done % 1000 == 0:

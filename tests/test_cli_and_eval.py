@@ -54,6 +54,22 @@ def test_gen_simu_roundtrip(tmp_path):
     assert wave.shape == (2, 16640, 2)
     assert labels["TDOA"].shape == (2,)
 
+    # --idx0 extends a tree with disjoint per-item seeds: generating items
+    # [1, 3) standalone reproduces the full run's items 1 and 2 byte-equal
+    out3 = str(tmp_path / "simu3")
+    gen_simu_main(["--mode", "sig", "--stage", "pretest", "--data-num", "2",
+                   "--idx0", "1", "--save-dir", out3, "--workers", "1",
+                   "--T", "1.04", "--noise", "spatial_white",
+                   "--t60-range", "0.3", "0.5",
+                   "--room-x", "4", "6", "--room-y", "4", "6",
+                   "--room-z", "2.5", "3"])
+    assert sorted(f for f in os.listdir(out3) if f.endswith(".wav")) \
+        == ["1.wav", "2.wav"]
+    for i in (1, 2):
+        with open(os.path.join(out, f"{i}.wav"), "rb") as fa, \
+             open(os.path.join(out3, f"{i}.wav"), "rb") as fb:
+            assert fa.read() == fb.read(), f"item {i} bytes differ"
+
 
 def test_pretext_metrics_shapes():
     cfg = SARSSLConfig().tiny(sig_shape=(256, 8, 2, 2), patch_shape=(256, 1),
