@@ -109,8 +109,8 @@ def main(argv=None):
     if args.workers <= 1:
         for i in range(args.idx0, args.idx0 + args.data_num):
             work(i)
-            if (i + 1) % 100 == 0:
-                print(f"{i + 1}/{args.data_num}")
+            if (i + 1 - args.idx0) % 100 == 0:
+                print(f"{i + 1 - args.idx0}/{args.data_num}")
     else:
         ctx = mp.get_context("spawn")
         with ctx.Pool(args.workers) as pool:
