@@ -4,10 +4,17 @@
 # device-synth checkpoint), then refresh every summary
 # (scripts/collect_flagship.py --base). One chip owner: waits for chain9.
 cd /root/repo
+echo $$ > /tmp/cleanup_chain10.pid
 
 echo "=== chain10 waiting for chain9 $(date) ==="
-while kill -0 $(cat /tmp/ism_chain9.pid) 2>/dev/null; do sleep 60; done
-while ! ss -tln 2>/dev/null | grep -q 8103; do sleep 60; done
+while [ -f /tmp/ism_chain9.pid ] \
+      && kill -0 $(cat /tmp/ism_chain9.pid) 2>/dev/null; do sleep 60; done
+busy() { ps -eo args | grep -E "sarssl_tpu\.cli\.run_(pretrain|downstream)" \
+         | grep -v grep | grep -cvE -- "--smoke|--cpu"; }
+while [ "$(busy)" -gt 0 ]; do
+  echo "chip busy; waiting $(date)"; sleep 120
+done
+while ! ss -tln 2>/dev/null | grep -qE ':8103[[:space:]]'; do sleep 60; done
 timeout 600 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((8, 8)); print('probe ok', float((x @ x).sum()))" || \

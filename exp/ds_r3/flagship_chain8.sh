@@ -5,9 +5,17 @@
 # scratchlow + finetune (the reference's nsimroom=2 -> 200 rule).
 # One chip owner: this script sequences every run.
 cd /root/repo
+echo $$ > /tmp/flagship_chain8.pid
 
+# one-owner gate: never start while any chip-owning process is alive
+# (--smoke/--cpu runs don't own the chip)
+busy() { ps -eo args | grep -E "sarssl_tpu\.cli\.run_(pretrain|downstream)" \
+         | grep -v grep | grep -cvE -- "--smoke|--cpu"; }
+while [ "$(busy)" -gt 0 ]; do
+  echo "chip busy; waiting $(date)"; sleep 120
+done
 echo "=== chain8 waiting for relay $(date) ==="
-while ! ss -tln 2>/dev/null | grep -q 8103; do sleep 60; done
+while ! ss -tln 2>/dev/null | grep -qE ':8103[[:space:]]'; do sleep 60; done
 echo "=== relay back $(date) — probing ==="
 for i in 1 2 3; do
   timeout 600 python -c "

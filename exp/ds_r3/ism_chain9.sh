@@ -2,17 +2,24 @@
 # Chain 9 — generator-gap experiment. The flagship pretrain used the
 # on-device synth generator (MTF-approximate tails) while the downstream
 # corpus is full ISM; TDOA finetune tied with scratch (README.md). This
-# chain pretrains on a 12,288-utt full-ISM packed corpus (same generator
-# as downstream, --resident staging) and reruns the full-label TDOA/T60
+# chain pretrains on a full-ISM packed corpus (same generator as
+# downstream, --resident staging) and reruns the full-label TDOA/T60
 # grids from that checkpoint. If the tie was the generator gap, TDOA
 # finetune should now separate from scratchlow (0.2301).
 # One chip owner: waits for chain8, then owns the chip.
 cd /root/repo
+echo $$ > /tmp/ism_chain9.pid
 
 echo "=== chain9 waiting for chain8 $(date) ==="
-while kill -0 $(cat /tmp/flagship_chain8.pid) 2>/dev/null; do sleep 60; done
+while [ -f /tmp/flagship_chain8.pid ] \
+      && kill -0 $(cat /tmp/flagship_chain8.pid) 2>/dev/null; do sleep 60; done
+busy() { ps -eo args | grep -E "sarssl_tpu\.cli\.run_(pretrain|downstream)" \
+         | grep -v grep | grep -cvE -- "--smoke|--cpu"; }
+while [ "$(busy)" -gt 0 ]; do
+  echo "chip busy; waiting $(date)"; sleep 120
+done
 echo "=== chain8 gone; waiting for relay $(date) ==="
-while ! ss -tln 2>/dev/null | grep -q 8103; do sleep 60; done
+while ! ss -tln 2>/dev/null | grep -qE ':8103[[:space:]]'; do sleep 60; done
 for i in 1 2 3; do
   timeout 600 python -c "
 import jax, jax.numpy as jnp

@@ -519,7 +519,15 @@ def main(argv=None):
             "mean_val_mae": float(np.mean([r["val_mae"] for r in rs])),
             "mean_test_mae": float(np.mean([r["test_mae"] for r in rs])),
         } for (bs, lr), rs in by_cfg.items()}
-    best_cfg = min(summary, key=lambda k: summary[k]["mean_val_mae"])
+    # a diverged lane (NaN val MAE) must neither win min() by NaN-compare
+    # order nor knock its config out of contention silently
+    finite = {k: v for k, v in summary.items()
+              if np.isfinite(v["mean_val_mae"])}
+    if len(finite) < len(summary):
+        print(f"WARNING: {len(summary) - len(finite)} config(s) with "
+              f"non-finite mean val MAE excluded from best-config selection")
+    best_cfg = min(finite or summary,
+                   key=lambda k: summary[k]["mean_val_mae"])
     out = {"task": args.ds_task, "mode": args.ds_trainmode, "cells": results,
            "summary": summary, "best": best_cfg,
            "best_test_mae": summary[best_cfg]["mean_test_mae"]}

@@ -106,8 +106,10 @@ def main(argv=None):
     if args.smoke:
         args.pretrain = True
         # an explicit data source still wins under --smoke (tiny-model
-        # drives of the packed/device-synth paths)
-        args.synthetic = not (args.data_dir or args.device_synth)
+        # drives of the packed/device-synth paths); an explicit
+        # --synthetic wins over everything
+        args.synthetic = (args.synthetic
+                          or not (args.data_dir or args.device_synth))
         args.epochs = min(args.epochs, 2)
         args.bs = 4
         args.train_num = 16

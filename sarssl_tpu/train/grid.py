@@ -380,17 +380,22 @@ class VmappedGridRunner:
         # state instead of poisoning the healthy lanes' results (the
         # sequential learner's `best = ... else current epoch` fallback).
         has_best = np.array([bool(c.best_epochs) for c in self.cells])
+        assert has_best.any(), ("no cell ever registered a best epoch — "
+                                "end_epoch never called (epochs=0?)")
         if has_best.all():
             cand_p, cand_b = self._cand_p, self._cand_b
         else:
+            # ONE jitted program: per-leaf eager tree_maps would issue
+            # hundreds of tiny tunnel dispatches (see _snap/_fold_masked)
+            @jax.jit
+            def sel_tree(m, cand, live):
+                return jax.tree.map(
+                    lambda c, lv: jnp.where(
+                        m.reshape((-1,) + (1,) * (c.ndim - 1)), c, lv),
+                    cand, live)
             m = jnp.asarray(has_best)
-
-            def sel(c, live):
-                return jnp.where(m.reshape((-1,) + (1,) * (c.ndim - 1)),
-                                 c, live)
-            cand_p = jax.tree.map(sel, self._cand_p, self.states.params)
-            cand_b = jax.tree.map(sel, self._cand_b,
-                                  self.states.batch_stats)
+            cand_p = sel_tree(m, self._cand_p, self.states.params)
+            cand_b = sel_tree(m, self._cand_b, self.states.batch_stats)
         self.states = self.states.replace(params=cand_p,
                                           batch_stats=cand_b)
         return self.states

@@ -20,7 +20,12 @@ def main(argv=None):
     args = (argv if argv is not None else sys.argv[1:])
     base = os.path.join(REPO, "exp", "ds_r3")
     if "--base" in args:
-        base = os.path.abspath(args[args.index("--base") + 1])
+        i = args.index("--base") + 1
+        if i >= len(args) or args[i].startswith("--"):
+            print("usage: collect_flagship.py [--base CAMPAIGN_DIR]",
+                  file=sys.stderr)
+            return 2
+        base = os.path.abspath(args[i])
     fp = os.path.join(base, "wo_info_baselines.json")
     if not os.path.exists(fp):
         fp = os.path.join(os.path.dirname(base), "wo_info_baselines.json")
@@ -67,7 +72,12 @@ def main(argv=None):
                         "mean_test_mae": sum(x["test_mae"] for x in v) / len(v),
                         "ntrials": len(v)}
                     for k, v in bycfg.items()}
-            best = min(summ, key=lambda k: summ[k]["mean_val_mae"])
+            # exclude configs whose mean val MAE is non-finite (a diverged
+            # trial): min() with a NaN key is comparison-order-dependent
+            finite = {k: v for k, v in summ.items()
+                      if v["mean_val_mae"] == v["mean_val_mae"]}
+            best = min(finite or summ,
+                       key=lambda k: summ[k]["mean_val_mae"])
             row[mode] = {"best_cfg": best,
                          "mean_val_mae": summ[best]["mean_val_mae"],
                          "test_mae": summ[best]["mean_test_mae"],
