@@ -36,8 +36,10 @@ else
   TRAIN_DIR=$PKP/pretrain; NTRAIN=12288; NEP=80
 fi
 echo "=== ism pretrain start $(date) dir=$TRAIN_DIR n=$NTRAIN ep=$NEP ==="
+# int16 staging: the 24,576-utt corpus is 12.9 GB f32 — over the v5e's
+# 16 GB HBM next to the model working set; 6.5 GB quantized (~-90 dB)
 timeout 7200 python -m sarssl_tpu.cli.run_pretrain --pretrain --resident \
-    --fused-attention --bs 128 --epochs $NEP \
+    --resident-dtype int16 --fused-attention --bs 128 --epochs $NEP \
     --train-num $NTRAIN --val-num 2048 \
     --data-dir $TRAIN_DIR --val-data-dir $PKP/preval \
     --exp-dir exp/pretrain_r3_ism \

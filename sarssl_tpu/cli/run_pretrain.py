@@ -81,6 +81,12 @@ def build_parser():
                         "once and feed epochs by on-device index gathers "
                         "(~KBs of h2d per epoch instead of the whole corpus; "
                         "single-process, packed --data-dir only)")
+    p.add_argument("--resident-dtype", type=str, default="float32",
+                   choices=["float32", "int16"],
+                   help="staging dtype for --resident: int16 halves the "
+                        "HBM footprint (globally-scaled, ~-90 dB "
+                        "quantization at the sim corpora's 0.9-peak norm; "
+                        "dequantized on device inside the gather)")
     return p
 
 
@@ -245,26 +251,35 @@ def main(argv=None):
         pds_t = PackedDataset(args.data_dir, load_anno=False)
         pds_v = (pds_t if vdir == args.data_dir
                  else PackedDataset(vdir, load_anno=False))
-        resident_waves = {"train": (pds_t, jax.device_put(
-                              pds_t.all_waves(nsample)))}
-        resident_waves["val"] = (resident_waves["train"]
-                                 if pds_v is pds_t else
-                                 (pds_v, jax.device_put(
-                                     pds_v.all_waves(nsample))))
-        gather = jax.jit(lambda w, i: w[i])
+
+        def stage(pds):
+            if args.resident_dtype == "int16":
+                q, scale = pds.all_waves_i16(nsample)
+                return pds, jax.device_put(q), scale
+            return pds, jax.device_put(pds.all_waves(nsample)), None
+        resident_waves = {"train": stage(pds_t)}
+        resident_waves["val"] = (resident_waves["train"] if pds_v is pds_t
+                                 else stage(pds_v))
+
+        gather_f = jax.jit(lambda w, i: w[i])
+        gather_q = jax.jit(lambda w, i, s: w[i].astype(jnp.float32) * s)
+
+        def gather(w, i, scale):
+            return (gather_f(w, i) if scale is None
+                    else gather_q(w, i, scale))
 
     def make_batches(split, epoch):
         if resident_waves is not None:
             import itertools
-            pds, waves = resident_waves["train" if split == "train"
-                                        else "val"]
+            pds, waves, scale = resident_waves["train" if split == "train"
+                                               else "val"]
             num = args.train_num if split == "train" else args.val_num
             # the EXACT batches the streaming packed path below would draw
             # (same batch_indices stream; parity pinned by test)
             it = pds.batch_indices(local_bs, shuffle=split == "train",
                                    seed=args.seed + epoch)
             it = itertools.islice(it, max(1, num // args.bs))
-            return (gather(waves, jnp.asarray(i)) for i in it)
+            return (gather(waves, jnp.asarray(i), scale) for i in it)
         if args.device_synth:
             assert pc == 1, ("--device-synth is single-process; use the "
                              "file/synthetic pipelines for pod runs")

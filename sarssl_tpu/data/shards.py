@@ -21,7 +21,7 @@ from __future__ import annotations
 import json
 import os
 from pathlib import Path
-from typing import Dict, Iterator, Optional, Sequence
+from typing import Dict, Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -182,6 +182,20 @@ class PackedDataset:
             lo = s * self.ips
             out[lo: lo + sh.shape[0]] = sh[:, :ns]
         return out
+
+    def all_waves_i16(self, nsample: Optional[int] = None
+                      ) -> Tuple[np.ndarray, float]:
+        """``all_waves`` quantized to int16 with one global scale — halves
+        the HBM footprint of device-resident staging (a 24,576-utt 4.112 s
+        corpus is 12.9 GB f32, over a v5e's 16 GB budget; 6.5 GB int16).
+        Quantization SNR at the sim corpora's 0.9-peak normalization is
+        ~-90 dB — far below the pretext training noise floor (SNR drawn
+        down to -5 dB). Returns (int16 (n, ns, nch), scale); dequantize as
+        ``waves.astype(f32) * scale``."""
+        w = self.all_waves(nsample)
+        gmax = float(np.max(np.abs(w))) or 1.0
+        q = np.round(w * (32767.0 / gmax)).astype(np.int16)
+        return q, gmax / 32767.0
 
     def iter_batches(self, batch_size: int, shuffle: bool = False,
                      seed: int = 0, drop_last: bool = True,

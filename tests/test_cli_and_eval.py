@@ -244,7 +244,9 @@ def test_pretrain_resident_matches_streaming(tmp_path):
     assert rc in (0, None)
 
     params = {}
-    for mode, extra in (("stream", []), ("resident", ["--resident"])):
+    for mode, extra in (("stream", []), ("resident", ["--resident"]),
+                        ("resident_i16", ["--resident",
+                                          "--resident-dtype", "int16"])):
         e = str(tmp_path / f"exp_{mode}")
         rc = pre_main(["--smoke", "--data-dir", pk, "--exp-dir", e] + extra)
         assert rc in (0, None)
@@ -256,6 +258,14 @@ def test_pretrain_resident_matches_streaming(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(params["stream"][k]), np.asarray(params["resident"][k]),
             err_msg=f"resident pretrain diverged from streaming at {k}")
+        # int16 staging: ~-90 dB input quantization must stay a tiny
+        # perturbation of the trained params, not a different trajectory.
+        # Adam turns any gradient-sign flip into an O(lr) step, so the
+        # bound is a few lr (smoke: lr 1e-3 x 8 steps), not the input eps
+        np.testing.assert_allclose(
+            np.asarray(params["resident_i16"][k]),
+            np.asarray(params["stream"][k]), atol=6e-3, rtol=0,
+            err_msg=f"int16-resident pretrain diverged at {k}")
 
 
 def test_grid_vmap_time_budget_still_writes_results(tmp_path):

@@ -164,3 +164,19 @@ def test_batch_indices_subset_smaller_than_batch_raises(tmp_path):
     with pytest.raises(ValueError, match="no full batch"):
         next(ds.batch_indices(8, shuffle=True, seed=0,
                               subset=np.arange(4)))
+
+
+def test_all_waves_i16_roundtrip_bound(tmp_path):
+    d = str(tmp_path / "pk")
+    pack_dataset(_Toy(n=6), d, items_per_shard=4)
+    ds = PackedDataset(d, load_anno=False)
+    w = ds.all_waves()
+    q, scale = ds.all_waves_i16()
+    assert q.dtype == np.int16
+    deq = q.astype(np.float32) * scale
+    # round-to-nearest with a global scale: error <= scale/2 (plus f32
+    # rounding of the dequant multiply), and the corpus peak maps to
+    # exactly +/-32767
+    gmax = scale * 32767
+    assert np.max(np.abs(deq - w)) <= scale / 2 + 4 * np.finfo(np.float32).eps * gmax
+    assert np.max(np.abs(q)) == 32767
