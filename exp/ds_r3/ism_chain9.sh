@@ -46,6 +46,18 @@ timeout 7200 python -m sarssl_tpu.cli.run_pretrain --pretrain --resident \
     > exp/pretrain_r3_ism.log 2>&1 || echo "FAILED ism pretrain"
 echo "=== ism pretrain end $(date) ==="
 
+# HBM fallback: if the full staged corpus OOMed (no checkpoint written),
+# retry staging only the first half (--resident-num)
+if [ ! -f exp/pretrain_r3_ism/checkpoints/best_model.msgpack ]; then
+  echo "=== ism pretrain RETRY half-resident $(date) ==="
+  timeout 7200 python -m sarssl_tpu.cli.run_pretrain --pretrain --resident \
+      --resident-dtype int16 --resident-num 12288 --fused-attention \
+      --bs 128 --epochs 80 --train-num 12288 --val-num 2048 \
+      --data-dir $TRAIN_DIR --val-data-dir $PKP/preval \
+      --exp-dir exp/pretrain_r3_ism \
+      >> exp/pretrain_r3_ism.log 2>&1 || echo "FAILED ism pretrain retry"
+fi
+
 PK=data/simu_ds_packed
 CKPT=exp/pretrain_r3_ism/checkpoints
 run() {  # task mode chunk budget tmo extra...

@@ -87,6 +87,10 @@ def build_parser():
                         "HBM footprint (globally-scaled, ~-90 dB "
                         "quantization at the sim corpora's 0.9-peak norm; "
                         "dequantized on device inside the gather)")
+    p.add_argument("--resident-num", type=int, default=None,
+                   help="stage only the first N rows of the train split "
+                        "(HBM fallback for corpora that don't fit; the "
+                        "epoch index universe is restricted to match)")
     return p
 
 
@@ -252,13 +256,15 @@ def main(argv=None):
         pds_v = (pds_t if vdir == args.data_dir
                  else PackedDataset(vdir, load_anno=False))
 
-        def stage(pds):
+        def stage(pds, limit=None):
             if args.resident_dtype == "int16":
-                q, scale = pds.all_waves_i16(nsample)
+                q, scale = pds.all_waves_i16(nsample, limit=limit)
                 return pds, jax.device_put(q), scale
-            return pds, jax.device_put(pds.all_waves(nsample)), None
-        resident_waves = {"train": stage(pds_t)}
-        resident_waves["val"] = (resident_waves["train"] if pds_v is pds_t
+            return pds, jax.device_put(
+                pds.all_waves(nsample, limit=limit)), None
+        resident_waves = {"train": stage(pds_t, args.resident_num)}
+        resident_waves["val"] = (resident_waves["train"]
+                                 if pds_v is pds_t and not args.resident_num
                                  else stage(pds_v))
 
         gather_f = jax.jit(lambda w, i: w[i])
@@ -276,8 +282,10 @@ def main(argv=None):
             num = args.train_num if split == "train" else args.val_num
             # the EXACT batches the streaming packed path below would draw
             # (same batch_indices stream; parity pinned by test)
+            subset = (np.arange(waves.shape[0])
+                      if split == "train" and args.resident_num else None)
             it = pds.batch_indices(local_bs, shuffle=split == "train",
-                                   seed=args.seed + epoch)
+                                   seed=args.seed + epoch, subset=subset)
             it = itertools.islice(it, max(1, num // args.bs))
             return (gather(waves, jnp.asarray(i), scale) for i in it)
         if args.device_synth:

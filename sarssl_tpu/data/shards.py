@@ -171,19 +171,22 @@ class PackedDataset:
                 break
             yield np.sort(idxs)  # sorted gather: sequential page access
 
-    def all_waves(self, nsample: Optional[int] = None) -> np.ndarray:
-        """Materialize every waveform, head-cropped to nsample — the
-        device-resident staging source (one contiguous (n, ns, nch)
-        array)."""
+    def all_waves(self, nsample: Optional[int] = None,
+                  limit: Optional[int] = None) -> np.ndarray:
+        """Materialize every waveform (or the first ``limit``), head-cropped
+        to nsample — the device-resident staging source (one contiguous
+        (n, ns, nch) array)."""
         ns = self.meta["nsample"] if nsample is None else nsample
-        out = np.empty((self.n, ns, self.meta["nch"]), np.float32)
-        for s in range(self.meta["nshards"]):
+        n = self.n if limit is None else min(limit, self.n)
+        out = np.empty((n, ns, self.meta["nch"]), np.float32)
+        for s in range((n + self.ips - 1) // self.ips):
             sh = self._shard(s)
             lo = s * self.ips
-            out[lo: lo + sh.shape[0]] = sh[:, :ns]
+            out[lo: min(lo + sh.shape[0], n)] = sh[: n - lo, :ns]
         return out
 
-    def all_waves_i16(self, nsample: Optional[int] = None
+    def all_waves_i16(self, nsample: Optional[int] = None,
+                      limit: Optional[int] = None
                       ) -> Tuple[np.ndarray, float]:
         """``all_waves`` quantized to int16 with one global scale — halves
         the HBM footprint of device-resident staging (a 24,576-utt 4.112 s
@@ -192,7 +195,7 @@ class PackedDataset:
         ~-90 dB — far below the pretext training noise floor (SNR drawn
         down to -5 dB). Returns (int16 (n, ns, nch), scale); dequantize as
         ``waves.astype(f32) * scale``."""
-        w = self.all_waves(nsample)
+        w = self.all_waves(nsample, limit=limit)
         gmax = float(np.max(np.abs(w))) or 1.0
         q = np.round(w * (32767.0 / gmax)).astype(np.int16)
         return q, gmax / 32767.0

@@ -180,3 +180,14 @@ def test_all_waves_i16_roundtrip_bound(tmp_path):
     gmax = scale * 32767
     assert np.max(np.abs(deq - w)) <= scale / 2 + 4 * np.finfo(np.float32).eps * gmax
     assert np.max(np.abs(q)) == 32767
+
+
+def test_all_waves_limit(tmp_path):
+    d = str(tmp_path / "pk")
+    pack_dataset(_Toy(n=11), d, items_per_shard=4)
+    ds = PackedDataset(d, load_anno=False)
+    np.testing.assert_array_equal(ds.all_waves(limit=6), ds.all_waves()[:6])
+    q_all, s_all = ds.all_waves_i16()
+    q_lim, s_lim = ds.all_waves_i16(limit=11)
+    np.testing.assert_array_equal(q_all, q_lim)
+    assert s_all == s_lim
