@@ -256,18 +256,30 @@ def main(argv=None):
 
     # pretrained encoder weights (finetune/lineareval)
     pre_sd, loaded_keys = None, []
-    if args.pretrain_ckpt and args.ds_trainmode in ("finetune", "lineareval"):
-        payload = load_checkpoint(best_path(args.pretrain_ckpt))
-        pre_sd = payload["params"]
-        if multipair:
-            # the shared single-pair trunk lives under 'model_sch'
-            pre_sd = {"model_sch": pre_sd}
+    if args.ds_trainmode in ("finetune", "lineareval"):
+        # these modes are DEFINED by transferring a pretrained encoder
+        # (reference run_downstream.py:253-256); a missing checkpoint must
+        # not silently mislabel scratch results as transfer results
+        assert args.pretrain_ckpt or args.ds_trainmode != "lineareval", (
+            "--ds-trainmode lineareval requires --pretrain-ckpt (without "
+            "one there is nothing to freeze and EVERY param would train)")
+        if not args.pretrain_ckpt:
+            print("WARNING: --ds-trainmode finetune without --pretrain-ckpt "
+                  "trains from random init (scratch)")
+        else:
+            payload = load_checkpoint(best_path(args.pretrain_ckpt))
+            pre_sd = payload["params"]
+            if multipair:
+                # the shared single-pair trunk lives under 'model_sch'
+                pre_sd = {"model_sch": pre_sd}
 
     def fresh_state():
         params = serialization.from_state_dict(init_state.params, init_params_sd)
         keys = []
         if pre_sd is not None:
             params, keys = partial_load(params, pre_sd)
+            assert keys, ("--pretrain-ckpt matched ZERO parameter keys — "
+                          "wrong checkpoint for this model config")
         st = init_state.replace(params=params,
                                 opt_state=init_state.tx.init(params))
         return st, keys
@@ -307,11 +319,13 @@ def main(argv=None):
                 arms[0].data_paths = arms[0].data_paths[:num]
                 return batch_iterator(arms[0], bs, shuffle=False,
                                       num_workers=args.workers)
-            ds = (arms[0] if len(arms) == 1 else
-                  RandomMixDataset(arms, length=num, seed=seed * 13 + 5,
-                                   probs=weights))
-            if len(arms) == 1:
-                ds.data_paths = ds.data_paths[:num]
+            # train (non-train single-arm returned above): even with one
+            # arm, draws are with-replacement over the FULL corpus with
+            # epoch length num — the reference's randint-per-__getitem__
+            # (dataset.py:276-278); truncating to the first num sorted
+            # paths would bias training to whatever sorts first
+            ds = RandomMixDataset(arms, length=num, seed=seed * 13 + 5,
+                                  probs=weights)
             return batch_iterator(ds, bs, shuffle=split == "train",
                                   seed=seed, num_workers=args.workers)
         if args.rir_dir or args.sim_rir_dir:
@@ -398,7 +412,9 @@ def main(argv=None):
                 for w, lab in itertools.islice(it, max(1, num // (bs * pc))):
                     yield w[:, :nsample], lab
             return gen_packed()
-        ds = FixMicSigDataset(data_dir, load_anno=True,
+        num = {"train": train_num, "val": args.val_num,
+               "test": args.test_num}[split]
+        ds = FixMicSigDataset(data_dir, load_anno=True, data_num=num,
                               transforms=[Selecting((0, nsample))])
         if pc > 1:  # strided per-host corpus shard
             from ..parallel import shard_for_process
@@ -418,6 +434,10 @@ def main(argv=None):
     if args.grid_vmap:
         assert not multipair and len(bs_set) == 1 and not args.mesh, (
             "--grid-vmap supports single-bs, 2-mic, unmeshed grids")
+        assert jax.process_count() == 1, (
+            "--grid-vmap is single-process: on a pod each host would run "
+            "an independent grid on its own data shard and race on "
+            "results.json — use the sequential grid with --mesh")
         assert cv_splits is None, (
             "--grid-vmap shares one val/test set across lanes; --rir-cv "
             "gives each trial its own rooms — use the sequential grid")
@@ -581,9 +601,24 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
         from ..data import PackedDataset, is_packed
         if is_packed(args.data_dir):
             pds_res = PackedDataset(args.data_dir, load_anno=True)
-            waves_dev = jax.device_put(pds_res.all_waves(nsample))
-            print(f"staged {len(pds_res)} train utts "
-                  f"({waves_dev.nbytes / 1e6:.0f} MB) on device", flush=True)
+            nbytes = (len(pds_res) * nsample
+                      * pds_res.meta["nch"] * 4)
+            budget_b = float(os.environ.get("SARSSL_RESIDENT_BUDGET_GB",
+                                            "6")) * 1e9
+            if nbytes > budget_b:
+                # a split that would crowd out the stacked lane states +
+                # ensemble ring in HBM streams instead (the 65 GB-RSS
+                # host-spill failure mode is worse than per-epoch h2d)
+                print(f"train split {nbytes / 1e9:.1f} GB exceeds the "
+                      f"resident budget ({budget_b / 1e9:.0f} GB, "
+                      "SARSSL_RESIDENT_BUDGET_GB) — streaming instead",
+                      flush=True)
+                pds_res = None
+            else:
+                waves_dev = jax.device_put(pds_res.all_waves(nsample))
+                print(f"staged {len(pds_res)} train utts "
+                      f"({waves_dev.nbytes / 1e6:.0f} MB) on device",
+                      flush=True)
 
     results = {}
     nchunk = max(1, args.grid_chunk)
@@ -596,10 +631,10 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
             print(f"--- grid chunk {ci + 1}: cells "
                   f"{[f'trial{t}_lr{lr:g}' for t, lr in cells]}",
                   flush=True)
-        init_states, keys = [], []
-        for _ in cells:
-            st, keys = fresh_state()
-            init_states.append(st)
+        # ONE deserialize + partial_load + h2d, shared by every lane (the
+        # stacked per-lane copies are made on device by stack_states)
+        st0, keys = fresh_state()
+        init_states = [st0] * len(cells)
         tmask = None
         if args.ds_trainmode == "lineareval" and keys:
             tmask = trainable_mask_from_loaded(init_states[0].params, keys)

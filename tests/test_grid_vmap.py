@@ -307,3 +307,22 @@ def test_nan_lane_falls_back_to_live_state():
     np.testing.assert_allclose(leaves[1], live[1], atol=1e-7)
     assert not np.allclose(leaves[0], live[0])
     assert runner.cells[0].best_epochs and not runner.cells[1].best_epochs
+
+
+def test_all_nan_chunk_returns_live_states():
+    """A chunk whose EVERY lane diverges to NaN from epoch 0 (e.g. one
+    too-hot lr per chunk) must still produce results — live final states,
+    no crash — so later chunks run and results.json is written."""
+    model, state0 = _init_state()
+    runner = VmappedGridRunner(model, FEAT, [state0, state0],
+                               [(0, 1e-2), (0, 1e-1)],
+                               patience=2, ensemble_k=2)
+    done, epoch = False, 0
+    while not done:
+        assert epoch < 16, "all-NaN grid never stopped"
+        done = runner.end_epoch(np.array([np.nan, np.nan]))
+        epoch += 1
+    live = np.asarray(jax.tree.leaves(runner.states.params)[0])
+    st = runner.ensembled_states()  # must not raise
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(st.params)[0]), live, atol=1e-7)
