@@ -250,22 +250,42 @@ def main(argv=None):
         assert args.data_dir and is_packed(args.data_dir), \
             f"--resident needs a packed --data-dir (cli/pack_data.py): " \
             f"{args.data_dir}"
+        assert args.resident_num is None or args.resident_num > 0, \
+            args.resident_num
         vdir = args.val_data_dir or args.data_dir
         assert is_packed(vdir), f"--resident val dir is not packed: {vdir}"
         pds_t = PackedDataset(args.data_dir, load_anno=False)
-        pds_v = (pds_t if vdir == args.data_dir
+        pds_v = (pds_t
+                 if os.path.realpath(vdir) == os.path.realpath(args.data_dir)
                  else PackedDataset(vdir, load_anno=False))
 
         def stage(pds, limit=None):
+            n = pds.n if limit is None else min(limit, pds.n)
+            nbytes = n * nsample * pds.meta["nch"] * (
+                2 if args.resident_dtype == "int16" else 4)
+            budget = float(os.environ.get("SARSSL_RESIDENT_BUDGET_GB",
+                                          "8")) * 1e9
+            assert nbytes <= budget, (
+                f"--resident would stage {nbytes / 1e9:.1f} GB "
+                f"({n} rows, {args.resident_dtype}) — over the "
+                f"{budget / 1e9:.0f} GB budget (SARSSL_RESIDENT_BUDGET_GB)."
+                " Use --resident-dtype int16, --resident-num, or stream")
             if args.resident_dtype == "int16":
                 q, scale = pds.all_waves_i16(nsample, limit=limit)
                 return pds, jax.device_put(q), scale
             return pds, jax.device_put(
                 pds.all_waves(nsample, limit=limit)), None
+
+        # val is read with shuffle=False through islice: only the first
+        # val_rows rows are ever gathered — stage no more than that, and
+        # reuse the train staging when it already covers them
+        val_rows = max(1, args.val_num // args.bs) * args.bs
         resident_waves = {"train": stage(pds_t, args.resident_num)}
+        train_rows = resident_waves["train"][1].shape[0]
         resident_waves["val"] = (resident_waves["train"]
-                                 if pds_v is pds_t and not args.resident_num
-                                 else stage(pds_v))
+                                 if pds_v is pds_t and train_rows >= min(
+                                     val_rows, pds_v.n)
+                                 else stage(pds_v, val_rows))
 
         gather_f = jax.jit(lambda w, i: w[i])
         gather_q = jax.jit(lambda w, i, s: w[i].astype(jnp.float32) * s)
