@@ -463,7 +463,7 @@ def main(argv=None):
             train_step, st_sh, b_sh = make_sharded_downstream_step(
                 model, feat_cfg, mesh, state, task=args.ds_task, donate=False,
                 trainable_mask=tmask, dlabel=dlabel)
-            eval_step, _ = make_sharded_downstream_eval_step(
+            eval_step, _, _ = make_sharded_downstream_eval_step(
                 model, feat_cfg, mesh, state, task=args.ds_task,
                 dlabel=dlabel)
             state = jax.device_put(state, st_sh)
@@ -477,18 +477,22 @@ def main(argv=None):
         def batch_adapter(it):
             for wave, gt in it:
                 g = gt[args.ds_task] if isinstance(gt, dict) else gt
-                wave = jnp.asarray(wave)
-                g = jnp.asarray(np.asarray(g, np.float32))
+                g = np.asarray(g, np.float32)
                 if multipair and args.ds_task == "TDOA":
                     # per-mic (vs mic 0) annotations -> per-pair targets
                     g = pairwise_tdoa(g.reshape(g.shape[0], -1),
                                       args.nmic, args.ch_mode)
                 if b_sh is not None:
                     # multi-process: assemble host-local rows into the global
-                    # batch; single-process this is a plain sharded put
+                    # batch (stay numpy until here — a jnp.asarray first
+                    # would bounce device->host->device per batch);
+                    # single-process this is a plain sharded put
                     from ..parallel import global_batch_from_local
-                    wave = global_batch_from_local(wave, b_sh)
-                    g = global_batch_from_local(g, b_sh)
+                    wave = global_batch_from_local(np.asarray(wave), b_sh)
+                    g = global_batch_from_local(np.asarray(g), b_sh)
+                else:
+                    wave = jnp.asarray(wave)
+                    g = jnp.asarray(g)
                 yield wave, g
 
         learner = DownstreamLearner(

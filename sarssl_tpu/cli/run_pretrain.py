@@ -183,7 +183,7 @@ def main(argv=None):
         mesh = make_mesh(n_data=d, n_model=m)
         train_step, st_sh, b_sh = make_sharded_pretrain_step(
             model, feat_cfg, mesh, state, trainable_mask=trainable_mask)
-        eval_step, _ = make_sharded_pretrain_eval_step(
+        eval_step, _, _ = make_sharded_pretrain_eval_step(
             model, feat_cfg, mesh, state)
         state = jax.device_put(state, st_sh)
     else:

@@ -14,14 +14,21 @@ import jax
 
 
 def device_prefetch(batches: Iterable, size: int = 2,
-                    sharding: Optional[object] = None) -> Iterator:
-    """Yield device-resident batches, keeping ``size`` in flight."""
+                    sharding: Optional[object] = None,
+                    put=None) -> Iterator:
+    """Yield device-resident batches, keeping ``size`` in flight.
+
+    ``put`` overrides the per-batch transfer (e.g. pod-global batch
+    assembly in parallel/hostdata.py); default is a (sharded) device_put.
+    """
+    assert size >= 1, f"prefetch size {size} would drop every batch"
     queue = collections.deque()
 
-    def put(x):
-        if sharding is not None:
-            return jax.tree.map(lambda a: jax.device_put(a, sharding), x)
-        return jax.tree.map(jax.device_put, x)
+    if put is None:
+        def put(x):
+            if sharding is not None:
+                return jax.tree.map(lambda a: jax.device_put(a, sharding), x)
+            return jax.tree.map(jax.device_put, x)
 
     it = iter(batches)
     try:

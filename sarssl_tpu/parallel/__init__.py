@@ -1,12 +1,13 @@
-from .mesh import make_mesh, batch_sharding, param_shardings, shard_train_state
-from .steps import (make_sharded_pretrain_step, make_sharded_downstream_step,
+from .mesh import make_mesh, batch_sharding, param_shardings
+from .steps import (state_shardings,
+                    make_sharded_pretrain_step, make_sharded_downstream_step,
                     make_sharded_pretrain_eval_step,
                     make_sharded_downstream_eval_step)
 from .hostdata import (shard_for_process, global_batch_from_local,
                        host_batch_iterator)
 
 __all__ = [
-    "make_mesh", "batch_sharding", "param_shardings", "shard_train_state",
+    "make_mesh", "batch_sharding", "param_shardings", "state_shardings",
     "make_sharded_pretrain_step", "make_sharded_downstream_step",
     "make_sharded_pretrain_eval_step", "make_sharded_downstream_eval_step",
     "shard_for_process", "global_batch_from_local", "host_batch_iterator",

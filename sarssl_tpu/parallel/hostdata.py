@@ -53,31 +53,27 @@ def global_batch_from_local(local_batch, sharding) -> jax.Array:
         return jax.device_put(local_batch, sharding)
     local = np.asarray(local_batch)
     global_shape = (local.shape[0] * jax.process_count(),) + local.shape[1:]
-    return jax.make_array_from_process_local_data(sharding, local,
-                                                  global_shape)
+    try:
+        return jax.make_array_from_process_local_data(sharding, local,
+                                                      global_shape)
+    except Exception as e:
+        # surface the contract instead of a shard-shape error deep in jax
+        raise ValueError(
+            f"global batch assembly failed for local shape {local.shape} x "
+            f"{jax.process_count()} hosts under {sharding}: every host must "
+            "contribute the SAME local_nb, divisible by its data-axis "
+            f"device share ({e})") from e
 
 
 def host_batch_iterator(batches: Iterable, sharding,
                         prefetch: int = 2) -> Iterator:
     """Map a host-local batch iterator to global sharded arrays with
-    ``prefetch`` transfers in flight (device_put/make_array are async)."""
-    import collections
+    ``prefetch`` transfers in flight (device_put/make_array are async).
+    Delegates the in-flight queue to data.prefetch.device_prefetch with a
+    pod-global put."""
+    from ..data.prefetch import device_prefetch
 
-    queue = collections.deque()
-
-    def put(b):
-        return jax.tree.map(lambda a: global_batch_from_local(a, sharding), b)
-
-    it = iter(batches)
-    try:
-        for _ in range(prefetch):
-            queue.append(put(next(it)))
-    except StopIteration:
-        pass
-    while queue:
-        out = queue.popleft()
-        try:
-            queue.append(put(next(it)))
-        except StopIteration:
-            pass
-        yield out
+    return device_prefetch(
+        batches, size=prefetch,
+        put=lambda b: jax.tree.map(
+            lambda a: global_batch_from_local(a, sharding), b))

@@ -31,18 +31,35 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     """('data','model') mesh, or ('replica','data','model') when
     ``n_replica > 1`` for multi-slice scaling: 'replica' maps across slices
-    (DCN), 'data'/'model' stay within a slice (ICI)."""
-    devices = list(devices if devices is not None else jax.devices())
+    (DCN), 'data'/'model' stay within a slice (ICI).
+
+    With the default device set the grid must tile it EXACTLY: silently
+    idling devices breaks the pod contract (global_batch_from_local sizes
+    the global batch as local_nb x process_count, which assumes every
+    process contributes all its devices). Pass ``devices`` explicitly to
+    run on a subset."""
+    explicit = devices is not None
+    devices = list(devices if explicit else jax.devices())
     n = len(devices)
     if n_data is None:
         n_data = n // (n_model * n_replica)
+    assert n_data >= 1, (n_replica, n_data, n_model, n)
     used = n_replica * n_data * n_model
-    assert used <= n, (n_replica, n_data, n_model, n)
-    if n_replica > 1:
-        grid = np.array(devices[:used]).reshape(n_replica, n_data, n_model)
-        return Mesh(grid, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
-    grid = np.array(devices[:used]).reshape(n_data, n_model)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    assert used == n or (explicit and used <= n), \
+        (f"mesh {n_replica}x{n_data}x{n_model} uses {used} of {n} devices; "
+         "pass devices= explicitly to run on a subset")
+    shape = ((n_replica, n_data, n_model) if n_replica > 1
+             else (n_data, n_model))
+    axes = ((REPLICA_AXIS, DATA_AXIS, MODEL_AXIS) if n_replica > 1
+            else (DATA_AXIS, MODEL_AXIS))
+    try:
+        # topology-aware assignment: collectives over 'data'/'model' ride
+        # ICI rings instead of whatever order jax.devices() happens to have
+        from jax.experimental import mesh_utils
+        grid = mesh_utils.create_device_mesh(shape, devices=devices[:used])
+    except Exception:
+        grid = np.array(devices[:used]).reshape(shape)
+    return Mesh(grid, axes)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -116,11 +133,3 @@ def param_shardings(mesh: Mesh, params):
         lambda path, leaf: NamedSharding(mesh, param_pspec(path, leaf)), params)
 
 
-def shard_train_state(state, mesh: Mesh):
-    """Place a TrainState on the mesh: TP-sharded params, everything else
-    replicated except optimizer moments, which follow their parameters.
-    The single source of the placement rule is ``steps.state_shardings``."""
-    from .steps import state_shardings
-
-    st_sh = state_shardings(mesh, state)
-    return jax.device_put(state, st_sh), st_sh.params

@@ -23,8 +23,21 @@ from .mesh import batch_sharding, param_shardings, _tree_paths_map, param_pspec
 def state_shardings(mesh: Mesh, state):
     """Pytree of NamedShardings matching a TrainState: TP-ruled params and
     optimizer moments, replicated batch stats / counters."""
+    from .mesh import MODEL_AXIS
     rep = NamedSharding(mesh, P())
     p_sh = param_shardings(mesh, state.params)
+    if dict(mesh.shape).get(MODEL_AXIS, 1) > 1:
+        # the TP rules are module-name suffix tables: a model whose layers
+        # don't match them would silently run fully replicated on the
+        # model axis (every model-axis device redoing identical work)
+        def _uses_model(spec):
+            return any(e == MODEL_AXIS
+                       or (isinstance(e, tuple) and MODEL_AXIS in e)
+                       for e in spec)
+        assert any(_uses_model(sh.spec) for sh in jax.tree.leaves(p_sh)), (
+            "model axis > 1 but no parameter matched the tensor-parallel "
+            "sharding rules (mesh.py) — this model would be fully "
+            "replicated; run with model=1 or extend the rule tables")
     bs_sh = jax.tree.map(lambda _: rep, state.batch_stats)
     opt_sh = _tree_paths_map(
         lambda path, leaf: NamedSharding(
@@ -81,7 +94,7 @@ def make_sharded_pretrain_eval_step(model, feat_cfg: FeatureConfig,
         in_shardings=(st_sh, b_sh, None),
         out_shardings={"loss": rep, "diff": rep},
     )
-    return step, b_sh
+    return step, st_sh, b_sh
 
 
 def make_sharded_downstream_eval_step(model, feat_cfg: FeatureConfig,
@@ -100,4 +113,4 @@ def make_sharded_downstream_eval_step(model, feat_cfg: FeatureConfig,
         in_shardings=(st_sh, b_sh, b_sh),
         out_shardings=out_sh,
     )
-    return step, b_sh
+    return step, st_sh, b_sh

@@ -64,7 +64,7 @@ def rank_main(rank: int, port: int = PORT) -> int:
     mesh = make_mesh(n_data=NPROC * LOCAL_DEV, n_model=1)
     step, st_sh, b_sh = make_sharded_pretrain_step(model, FEAT, mesh, state,
                                                    donate=False)
-    estep, _ = make_sharded_pretrain_eval_step(model, FEAT, mesh, state)
+    estep, _, _ = make_sharded_pretrain_eval_step(model, FEAT, mesh, state)
     state_sh = jax.device_put(state, st_sh)
 
     # every host contributes DISTINCT rows: host r takes rows [r*LOCAL_BS, ...)

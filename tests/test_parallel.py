@@ -143,9 +143,7 @@ def test_sharded_eval_steps_match_single_device():
     wave = jnp.asarray(wave)
     rng = jax.random.key(9)
     m1 = make_pretrain_eval_step(model, FEAT)(state, wave, rng)
-    es, b_sh = make_sharded_pretrain_eval_step(model, FEAT, mesh, state)
-    from sarssl_tpu.parallel.steps import state_shardings
-    st_sh = state_shardings(mesh, state)
+    es, st_sh, b_sh = make_sharded_pretrain_eval_step(model, FEAT, mesh, state)
     m8 = es(jax.device_put(state, st_sh), jax.device_put(wave, b_sh), rng)
     assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-5)
     assert float(m1["diff"]) == pytest.approx(float(m8["diff"]), rel=1e-5)
@@ -156,9 +154,8 @@ def test_sharded_eval_steps_match_single_device():
     gt = jnp.asarray(tdoa / 16000.0)
     m1 = make_downstream_eval_step(model_d, FEAT, task="TDOA")(
         state_d, wave, gt)
-    es, b_sh = make_sharded_downstream_eval_step(model_d, FEAT, mesh,
-                                                 state_d, task="TDOA")
-    st_sh = state_shardings(mesh, state_d)
+    es, st_sh, b_sh = make_sharded_downstream_eval_step(model_d, FEAT, mesh,
+                                                        state_d, task="TDOA")
     m8 = es(jax.device_put(state_d, st_sh), jax.device_put(wave, b_sh),
             jax.device_put(gt, NamedSharding(mesh, P("data"))))
     assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-5)
@@ -174,7 +171,6 @@ def test_ensemble_on_sharded_state(tmp_path):
     state is mesh-sharded: save -> ensemble -> averaged params install."""
     from sarssl_tpu.train import checkpoint as ckpt
     from sarssl_tpu.train.learner import DownstreamLearner
-    from sarssl_tpu.parallel.steps import state_shardings
 
     mesh = make_mesh(n_data=4, n_model=2)
     model, state = _setup(pretrain=False)
