@@ -92,6 +92,8 @@ def _gen_one(idx: int, *, seed: int, save_dir: str, T: float, fs: int,
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from ..data import native
+    native.ensure_built()
     os.makedirs(args.save_dir, exist_ok=True)
     seed = STAGE_SEEDS[args.stage]
     room_ranges = (tuple(args.room_x), tuple(args.room_y), tuple(args.room_z))

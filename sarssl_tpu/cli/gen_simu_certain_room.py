@@ -74,6 +74,8 @@ def _gen_item(job, *, seed, save_dir, T, fs, save_dp, noise):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from ..data import native
+    native.ensure_built()
     os.makedirs(args.save_dir, exist_ok=True)
     seed = STAGE_SEEDS[args.stage]
     jobs = [(r, i, s) for r in range(args.room_num)

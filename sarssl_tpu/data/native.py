@@ -43,6 +43,27 @@ def available() -> bool:
     return _load() is not None
 
 
+def ensure_built(verbose: bool = True) -> bool:
+    """Build the kernel on demand (the .so is gitignored, so fresh checkouts
+    and rebooted build boxes lack it; the numpy fallback is ~2.5x slower).
+    Returns availability; never raises — generation proceeds on the
+    fallback path if the toolchain is missing."""
+    global _TRIED
+    if available():
+        return True
+    try:
+        from . import build_native
+        build_native.build(verbose=verbose)
+    except Exception as e:  # no g++, read-only tree, ...
+        import warnings
+        warnings.warn(f"native ISM kernel unavailable and build failed ({e}); "
+                      "using the slower numpy fallback. Build manually with "
+                      "`python -m sarssl_tpu.data.build_native`.")
+        return False
+    _TRIED = False  # retry the load now that the .so exists
+    return available()
+
+
 def ism_core(cx, ax, cy, ay, cz, az, mics, nsamp: int, fs: int, c: float,
              t_lim: float) -> np.ndarray:
     """C++ image accumulation. Same contract as the numpy loop in ism.py."""

@@ -64,6 +64,15 @@ def test_ism_t60_matches_specified():
     assert t60_est == pytest.approx(t60_spec, abs=0.08)
 
 
+def test_ensure_built_idempotent_when_available():
+    # the gen CLIs call this on startup; with the kernel already built it
+    # must be a cheap no-op that reports availability truthfully
+    if not native.available():
+        pytest.skip("native lib not built")
+    assert native.ensure_built(verbose=False) is True
+    assert native.available()
+
+
 def test_ism_native_matches_numpy():
     if not native.available():
         pytest.skip("native lib not built")
