@@ -1,0 +1,82 @@
+"""Render the round-3 downstream campaigns as one markdown comparison table.
+
+Reads the per-campaign summary.json files written by collect_flagship.py:
+
+  exp/ds_r3/summary.json          flagship   (device-synth pretrain ckpt,
+                                              800 labels/epoch of a 2k pool)
+  exp/ds_r3/ism/summary.json      generator-gap rerun (full-ISM pretrain
+                                              ckpt, same labels as flagship)
+  exp/ds_r3/lowdata/summary.json  low-label ablation (fixed 200 labels,
+                                              ISM pretrain ckpt)
+
+and prints, per task and campaign, the no-train floor and the best test
+MAE per mode plus the finetune-vs-scratch delta. Campaigns whose summary
+is missing (not yet collected) are skipped with a note.
+
+Run: python scripts/campaign_table.py [--write docs/CAMPAIGNS_r3.md]
+"""
+import argparse
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CAMPAIGNS = [
+    ("flagship (device-synth ckpt, 800 labels)", "exp/ds_r3/summary.json"),
+    ("generator-gap (ISM ckpt, 800 labels)", "exp/ds_r3/ism/summary.json"),
+    ("low-label (ISM ckpt, 200 fixed labels)",
+     "exp/ds_r3/lowdata/summary.json"),
+]
+MODES = ("lineareval", "scratchlow", "finetune")
+
+
+def fmt(x, digits=4):
+    return "—" if x is None else f"{x:.{digits}g}"
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--write", type=str, default=None,
+                    help="also write the table to this markdown file")
+    args = ap.parse_args(argv)
+
+    lines = ["# Round-3 downstream campaigns — best test MAE by mode", ""]
+    loaded = []
+    for label, rel in CAMPAIGNS:
+        p = os.path.join(REPO, rel)
+        if not os.path.exists(p):
+            lines.append(f"_{label}: no summary yet ({rel})_")
+            continue
+        with open(p) as f:
+            loaded.append((label, json.load(f)))
+    if lines[-1] != "":
+        lines.append("")
+
+    for task in ("TDOA", "T60"):
+        avail = [(label, s[task]) for label, s in loaded if task in s]
+        if not avail:
+            continue
+        unit = avail[0][1].get("unit", "")
+        lines += [f"## {task} ({unit})", "",
+                  "| campaign | floor | lineareval | scratchlow | finetune |"
+                  " ft vs scratch |",
+                  "|---|---|---|---|---|---|"]
+        for label, row in avail:
+            cells = [label, fmt(row.get("no_train_mae"))]
+            for mode in MODES:
+                m = row.get(mode)
+                cells.append(fmt(m["test_mae"]) if m else "—")
+            pct = row.get("finetune_vs_scratch_pct")
+            cells.append("—" if pct is None else f"{pct:+.1f}%")
+            lines.append("| " + " | ".join(cells) + " |")
+        lines.append("")
+
+    out = "\n".join(lines)
+    print(out)
+    if args.write:
+        with open(os.path.join(REPO, args.write), "w") as f:
+            f.write(out + "\n")
+
+
+if __name__ == "__main__":
+    main()
