@@ -35,6 +35,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from sarssl_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache(jax)
+
     from sarssl_tpu.models import SARSSL, SARSSLConfig
     from sarssl_tpu.ops import FeatureConfig, gen_patch_mask
     from sarssl_tpu.train import create_train_state, make_pretrain_step

@@ -159,6 +159,9 @@ def main(argv=None):
     import jax.numpy as jnp
     from flax import serialization
 
+    from ..utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache(jax)
+
     from ..config import DownstreamConfig
     from ..models import SARSSL, SARSSLConfig
     from ..ops import FeatureConfig

@@ -102,6 +102,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from ..utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache(jax)
+
     from ..config import AcousticSetting
     from ..models import SARSSL, SARSSLConfig
     from ..ops import FeatureConfig, gen_patch_mask

@@ -22,11 +22,8 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: repeated suite runs (CI, judges, local
 # iteration) skip recompiling unchanged programs — the dominant cost of this
-# suite on a 1-CPU box.
-_cache_dir = os.environ.get("SARSSL_JAX_CACHE",
-                            os.path.expanduser("~/.cache/sarssl_jax_cache"))
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+# suite on a 1-CPU box. Shared with the CLIs/bench via utils.jaxcache.
+from sarssl_tpu.utils.jaxcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(jax)
 
