@@ -36,7 +36,7 @@ def main():
     import jax.numpy as jnp
 
     from sarssl_tpu.utils.jaxcache import enable_persistent_cache
-    enable_persistent_cache(jax)
+    enable_persistent_cache()
 
     from sarssl_tpu.models import SARSSL, SARSSLConfig
     from sarssl_tpu.ops import FeatureConfig, gen_patch_mask

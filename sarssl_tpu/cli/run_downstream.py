@@ -160,7 +160,7 @@ def main(argv=None):
     from flax import serialization
 
     from ..utils.jaxcache import enable_persistent_cache
-    enable_persistent_cache(jax)
+    enable_persistent_cache()
 
     from ..config import DownstreamConfig
     from ..models import SARSSL, SARSSLConfig

@@ -103,7 +103,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..utils.jaxcache import enable_persistent_cache
-    enable_persistent_cache(jax)
+    enable_persistent_cache()
 
     from ..config import AcousticSetting
     from ..models import SARSSL, SARSSLConfig

@@ -25,5 +25,5 @@ jax.config.update("jax_platforms", "cpu")
 # suite on a 1-CPU box. Shared with the CLIs/bench via utils.jaxcache.
 from sarssl_tpu.utils.jaxcache import enable_persistent_cache  # noqa: E402
 
-enable_persistent_cache(jax)
+enable_persistent_cache()
 
