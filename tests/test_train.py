@@ -263,3 +263,40 @@ def test_frozen_params_immune_to_weight_decay():
                                           err_msg=f"frozen moved: {k}")
     assert np.abs(np.asarray(before[("head_proj", "kernel")])
                   - np.asarray(after[("head_proj", "kernel")])).max() > 0
+
+
+def test_f16_export_restore_roundtrip(tmp_path):
+    """scripts/export_ckpt_f16: export drops opt_state and halves floats;
+    restore yields an f32 params-only checkpoint whose values match the
+    original to f16 resolution and that partial_load consumes cleanly."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from export_ckpt_f16 import export_f16, restore_f32
+
+    model, state = _state_and_model()
+    d = str(tmp_path)
+    save_checkpoint(d, state, epoch=7, max_score=-0.3, is_best=True)
+    f16_path = os.path.join(d, "best_f16.msgpack")
+    export_f16(best_path(d), f16_path)
+    assert os.path.getsize(f16_path) < os.path.getsize(best_path(d)) / 2
+
+    rdir = os.path.join(d, "restored")
+    restore_f32(f16_path, os.path.join(rdir, "best_model.msgpack"))
+    payload = load_checkpoint(os.path.join(rdir, "best_model.msgpack"))
+    assert "opt_state" not in payload
+    assert payload["meta"]["epoch"] == 7
+
+    from flax.traverse_util import flatten_dict
+    from flax import serialization
+    orig = flatten_dict(serialization.to_state_dict(jax.device_get(state.params)))
+    rest = flatten_dict(payload["params"])
+    for k, v in orig.items():
+        r = rest[k]
+        assert np.asarray(r).dtype == np.float32
+        np.testing.assert_allclose(np.asarray(v), np.asarray(r),
+                                   rtol=2e-3, atol=2e-4)
+
+    new_params, loaded = partial_load(state.params, payload["params"])
+    assert loaded
+    for leaf in jax.tree.leaves(new_params):
+        assert np.asarray(leaf).dtype == np.float32
