@@ -9,7 +9,12 @@ the Pallas fused attention kernel and fused XLA counter-hash dropout masks.
 
 Prints ONE JSON line:
   {"metric": "pretrain_utts_per_sec_per_chip", "value": N, "unit": "utt/s",
-   "vs_baseline": N}
+   "vs_baseline": N, "step_ms": N, "step_tflop": N, "mfu": N}
+
+step_tflop comes from XLA cost analysis of the compiled train step; mfu is
+measured TFLOP/s over PEAK_FLOPS (v5e bf16 peak 197 TF/s per chip; override
+with SARSSL_PEAK_FLOPS for other silicon). Both are null if the backend
+exposes no cost model.
 
 vs_baseline compares against REFERENCE_GPU_UPS, an estimate of the PyTorch
 reference's single-A100 throughput (the repo publishes no numbers). The
@@ -24,6 +29,7 @@ import time
 import numpy as np
 
 REFERENCE_GPU_UPS = 130.0
+PEAK_FLOPS = 197e12  # TPU v5e bf16 peak per chip; SARSSL_PEAK_FLOPS overrides
 
 BATCH = 128
 NSAMPLE = 65792  # 4.112 s @ 16 kHz -> 256 STFT frames
@@ -60,12 +66,20 @@ def main():
         dev)
 
     key = jax.random.key(2)
+    step_flops = None
     for i in range(WARMUP):
         key, sub = jax.random.split(key)
         state, metrics = step(state, wave, 1e-3, sub)
     # NOTE: jax.block_until_ready does not synchronize on the axon TPU
     # tunnel backend; a host fetch of the scalar loss does.
     float(metrics["loss"])
+    try:  # FLOPs of the already-jitted step (persistent cache: no recompile)
+        cost = step.lower(state, wave, 1e-3, key).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0] if cost else {}
+        step_flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
 
     t0 = time.perf_counter()
     for i in range(ITERS):
@@ -74,12 +88,18 @@ def main():
     float(metrics["loss"])
     dt = time.perf_counter() - t0
 
+    import os
+    peak = float(os.environ.get("SARSSL_PEAK_FLOPS", PEAK_FLOPS))
+    step_s = dt / ITERS
     ups = BATCH * ITERS / dt
     print(json.dumps({
         "metric": "pretrain_utts_per_sec_per_chip",
         "value": round(ups, 2),
         "unit": "utt/s",
         "vs_baseline": round(ups / REFERENCE_GPU_UPS, 3),
+        "step_ms": round(step_s * 1e3, 2),
+        "step_tflop": round(step_flops / 1e12, 3) if step_flops else None,
+        "mfu": round(step_flops / step_s / peak, 4) if step_flops else None,
     }))
 
 

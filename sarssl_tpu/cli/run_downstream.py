@@ -667,6 +667,7 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
         if waves_dev is not None:
             runner.stage_train_waves(waves_dev)
 
+        budget_hit = False
         for epoch in range(args.epochs):
             rngs = [jax.random.fold_in(root_key, 7000 + epoch + t * 100_000)
                     for t, _ in cells]
@@ -721,6 +722,7 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
             if deadline is not None and time.time() > deadline:
                 print(f"chunk {ci + 1} hit its prorated time budget at "
                       f"epoch {epoch}; finalizing early", flush=True)
+                budget_hit = True
                 break
 
         runner.ensembled_states()
@@ -736,7 +738,11 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
             results[cell] = {"val_mae": float(val_m["mae"][i]),
                              "test_mae": float(test_m["mae"][i]),
                              "lr": lr, "bs": bs, "trial": t,
-                             "epochs_run": runner.cells[i].epochs_run}
+                             "epochs_run": runner.cells[i].epochs_run,
+                             # deadline fired before this cell early-stopped:
+                             # its MAE is from an unconverged ensemble
+                             "truncated": bool(budget_hit
+                                               and not runner.cells[i].done)}
             print(f"{cell}: val MAE {results[cell]['val_mae']:.5f} "
                   f"test MAE {results[cell]['test_mae']:.5f}", flush=True)
         # recovery artifact: chunks already finished survive a killed run

@@ -78,11 +78,17 @@ def main(argv=None):
                       if v["mean_val_mae"] == v["mean_val_mae"]}
             best = min(finite or summ,
                        key=lambda k: summ[k]["mean_val_mae"])
+            # surface budget truncation: cells the grid runner flagged as
+            # stopped by the prorated deadline before early-stopping
+            trunc = sorted({c["trial"] for c in bycfg[best]
+                            if c.get("truncated")})
             row[mode] = {"best_cfg": best,
                          "mean_val_mae": summ[best]["mean_val_mae"],
                          "test_mae": summ[best]["mean_test_mae"],
                          "ntrials": summ[best]["ntrials"],
                          "sources": sources}
+            if trunc:
+                row[mode]["truncated_trials"] = trunc
         ft, sc = row.get("finetune"), row.get("scratchlow")
         if ft and sc:
             row["finetune_beats_scratch"] = ft["test_mae"] < sc["test_mae"]
@@ -91,6 +97,15 @@ def main(argv=None):
             row["finetune_vs_scratch_pct"] = round(
                 100 * (1 - ft["test_mae"] / sc["test_mae"]), 1)
         out[task] = row
+    # hand-written honesty notes (e.g. legacy runs whose cells predate the
+    # per-cell 'truncated' flag): caveats.json maps task -> mode -> note
+    cav_path = os.path.join(base, "caveats.json")
+    if os.path.exists(cav_path):
+        with open(cav_path) as f:
+            for task, modes in json.load(f).items():
+                for mode, note in modes.items():
+                    if out.get(task, {}).get(mode):
+                        out[task][mode]["caveat"] = note
     with open(os.path.join(base, "summary.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
