@@ -34,6 +34,39 @@ def fixed_train_subset(args, n, num, trial):
     return np.sort(rng.permutation(n)[:num])
 
 
+def room_block_rows(rooms_col, nsimroom, trial):
+    """Row indices of trial's room block for --room-trials: the trial-th
+    consecutive block of nsimroom rooms in sorted-room-id order, so trial
+    room sets are disjoint — the reference's per-trial data dirs
+    R{trial*nsimroom+1 .. (trial+1)*nsimroom}
+    (/root/reference/code/opt.py:283-290, run_downstream.py:173-181;
+    we block by the ids actually present rather than assuming 1-based
+    numbering)."""
+    rooms_col = np.asarray(rooms_col, np.int64)
+    ids = np.unique(rooms_col)
+    blk = ids[trial * nsimroom:(trial + 1) * nsimroom]
+    assert len(blk) == nsimroom, (
+        f"trial {trial} needs rooms [{trial * nsimroom}:"
+        f"{(trial + 1) * nsimroom}) of {len(ids)} present — generate more "
+        f"rooms (gen_simu_certain_room --room-num >= ntrial*nsimroom) or "
+        f"lower --ntrial/--ds-nsimroom")
+    return np.flatnonzero(np.isin(rooms_col, blk))
+
+
+def packed_train_subset(args, pds, num, trial):
+    """The train-row universe for one trial of a packed split: room-block
+    rows under --room-trials, the fixed low-label draw under
+    --fixed-train-subset, else the whole split."""
+    if getattr(args, "room_trials", False):
+        rc = pds.annos().get("room")
+        assert rc is not None, (
+            f"--room-trials: packed dir {pds.dir} has no 'room' column — "
+            "re-pack the R{idx}/ tree with cli.pack_data (the packer "
+            "records room ids automatically for certain-room trees)")
+        return room_block_rows(rc, args.ds_nsimroom, trial)
+    return fixed_train_subset(args, pds.n, num, trial)
+
+
 def build_parser():
     p = argparse.ArgumentParser("sarssl_tpu downstream")
     p.add_argument("--ds-train", action="store_true")
@@ -100,6 +133,14 @@ def build_parser():
                         "TDOA, 4.112 otherwise)")
     p.add_argument("--val-num", type=int, default=1000)
     p.add_argument("--test-num", type=int, default=4000)
+    p.add_argument("--room-trials", action="store_true",
+                   help="the train data is a certain-room corpus "
+                        "(gen_simu_certain_room R{idx}/ tree, raw or "
+                        "packed): trial t trains on the t-th disjoint "
+                        "block of ds-nsimroom rooms, so trial variance is "
+                        "room-subset variance (reference "
+                        "run_downstream.py:173-181 + opt.py:283-290); "
+                        "val/test stay the generic held-out dirs")
     p.add_argument("--fixed-train-subset", action="store_true",
                    help="packed dirs: train each trial on a FIXED "
                         "train-num-row subset of the split (per-trial "
@@ -200,6 +241,46 @@ def main(argv=None):
         bs_set = args.bs_set or list(cfg.bs_set)
         ntrial = args.ntrial or cfg.ntrial
         train_num = args.train_num or cfg.train_num
+
+    room_ids = None
+    if args.room_trials:
+        assert args.data_dir and not (args.synthetic or args.rir_dir
+                                      or args.sim_rir_dir or args.real_sig_dir
+                                      or args.rir_cv), (
+            "--room-trials reads a certain-room corpus from --data-dir and "
+            "composes with no other data source")
+        assert args.val_data_dir and args.test_data_dir, (
+            "--room-trials: pass --val-data-dir/--test-data-dir (generic "
+            "held-out corpora, reference opt.py:292-293) — evaluating on "
+            "the training rooms would leak")
+        from ..data import PackedDataset, is_packed
+        from ..data.shards import room_id_of_path
+        if is_packed(args.data_dir):
+            rc = PackedDataset(args.data_dir).annos().get("room")
+            assert rc is not None, (
+                f"--room-trials: {args.data_dir} was packed without a "
+                "'room' column — re-pack the R{idx}/ tree with cli.pack_data")
+            room_ids = np.unique(np.asarray(rc, np.int64))
+        else:
+            import re
+            room_ids = np.array(sorted(
+                int(m.group(1)) for d in os.listdir(args.data_dir)
+                if (m := re.fullmatch(r"R(\d+)", d))
+                and os.path.isdir(os.path.join(args.data_dir, d))))
+            assert room_ids.size, (
+                f"--room-trials: no R{{idx}}/ room subdirs under "
+                f"{args.data_dir} (generate with cli.gen_simu_certain_room)")
+        max_trials = len(room_ids) // args.ds_nsimroom
+        assert max_trials >= 1, (
+            f"{len(room_ids)} rooms < ds-nsimroom={args.ds_nsimroom}")
+        if args.ntrial is None and ntrial > max_trials:
+            print(f"room-trials: {len(room_ids)} rooms support only "
+                  f"{max_trials} disjoint {args.ds_nsimroom}-room trials "
+                  f"(protocol ntrial {ntrial}); clamping")
+            ntrial = max_trials
+        assert ntrial * args.ds_nsimroom <= len(room_ids), (
+            f"--ntrial {ntrial} x nsimroom {args.ds_nsimroom} needs "
+            f"{ntrial * args.ds_nsimroom} rooms, found {len(room_ids)}")
 
     cv_splits = None
     if args.rir_cv:
@@ -403,8 +484,10 @@ def main(argv=None):
             pds = PackedDataset(data_dir, load_anno=True)
             num = {"train": train_num, "val": args.val_num,
                    "test": args.test_num}[split]
-            subset = (fixed_train_subset(args, pds.n, num, trial)
+            subset = (packed_train_subset(args, pds, num, trial)
                       if split == "train" else None)
+            if subset is not None and args.room_trials:
+                num = min(num, len(subset))
 
             def gen_packed():
                 # one SHARED permutation (seed0) across hosts: shard_i/shard_n
@@ -417,8 +500,21 @@ def main(argv=None):
             return gen_packed()
         num = {"train": train_num, "val": args.val_num,
                "test": args.test_num}[split]
-        ds = FixMicSigDataset(data_dir, load_anno=True, data_num=num,
-                              transforms=[Selecting((0, nsample))])
+        if args.room_trials and split == "train":
+            # trial's room block, THEN truncate to num (truncating first
+            # would bias the block toward low room ids)
+            from ..data.shards import room_id_of_path
+            ds = FixMicSigDataset(data_dir, load_anno=True,
+                                  transforms=[Selecting((0, nsample))])
+            rooms = [room_id_of_path(p) for p in ds.data_paths]
+            assert all(r is not None for r in rooms), (
+                f"--room-trials: items outside R{{idx}}/ subdirs under "
+                f"{data_dir}")
+            rows = room_block_rows(rooms, args.ds_nsimroom, trial)
+            ds.data_paths = [ds.data_paths[i] for i in rows][:num]
+        else:
+            ds = FixMicSigDataset(data_dir, load_anno=True, data_num=num,
+                                  transforms=[Selecting((0, nsample))])
         if pc > 1:  # strided per-host corpus shard
             from ..parallel import shard_for_process
             ds.data_paths = shard_for_process(ds.data_paths)
@@ -668,6 +764,16 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
             runner.stage_train_waves(waves_dev)
 
         budget_hit = False
+        # per-trial train-row universes are epoch-independent (fixed draws
+        # or room blocks); lanes step in lockstep, so the shared per-epoch
+        # batch count uses the smallest universe
+        trial_subs = ({t: packed_train_subset(args, pds_res, train_num, t)
+                       for t in trials} if waves_dev is not None else {})
+        res_num = train_num
+        if trial_subs and not all(s is None for s in trial_subs.values()):
+            res_num = min(train_num,
+                          min(len(s) for s in trial_subs.values()
+                              if s is not None))
         for epoch in range(args.epochs):
             rngs = [jax.random.fold_in(root_key, 7000 + epoch + t * 100_000)
                     for t, _ in cells]
@@ -675,15 +781,14 @@ def _grid_vmapped(args, model, feat_cfg, fresh_state, make_batches, lr_set,
             if waves_dev is not None:
                 # same permutation seeds as make_batches' packed path ->
                 # identical batches, but gathered on device by index
-                nb = max(1, train_num // bs)
+                nb = max(1, res_num // bs)
                 acol = pds_res.annos()[args.ds_task]
                 idx_streams = {
                     t: itertools.islice(
                         pds_res.batch_indices(
                             bs, shuffle=True,
                             seed=args.seed + t * 1000 + epoch,
-                            subset=fixed_train_subset(args, pds_res.n,
-                                                      train_num, t)), nb)
+                            subset=trial_subs[t]), nb)
                     for t in trials}
 
                 def stacked_idx(idx_streams=idx_streams, acol=acol):

@@ -72,15 +72,45 @@ def pack_dataset(dataset, out_dir: str, items_per_shard: int = 512,
     return meta
 
 
+def room_id_of_path(path) -> Optional[int]:
+    """Room index of a certain-room tree item: its parent directory is
+    ``R{idx}`` (gen_simu_certain_room layout, reference
+    gen_simu_certain_room.py:32-423 / opt.py:283-290). None otherwise."""
+    import re
+    m = re.fullmatch(r"R(\d+)", Path(path).parent.name)
+    return int(m.group(1)) if m else None
+
+
+class _WithRoomColumn:
+    """Wrap an annotated dataset to add a per-item 'room' label column."""
+
+    def __init__(self, ds, rooms: Sequence[int]):
+        self.ds, self.rooms = ds, rooms
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, i: int):
+        wave, annos = self.ds[i]
+        return wave, {**annos, "room": np.float32(self.rooms[i])}
+
+
 def pack_wav_tree(data_dir: str, out_dir: str, nsample: Optional[int] = None,
                   load_anno: bool = True, items_per_shard: int = 512,
                   data_num: Optional[int] = None) -> Dict:
-    """Pack a generated wav(+info npz) tree (gen_simu layout)."""
+    """Pack a generated wav(+info npz) tree (gen_simu layout). Certain-room
+    trees (every item under an ``R{idx}/`` subdir) get a 'room' anno column
+    so per-trial room subsets survive packing (run_downstream
+    --room-trials)."""
     from .datasets import FixMicSigDataset, Selecting
 
     tr = [Selecting((0, nsample))] if nsample else []
     ds = FixMicSigDataset(data_dir, load_anno=load_anno, data_num=data_num,
                           transforms=tr)
+    if load_anno:
+        rooms = [room_id_of_path(p) for p in ds.data_paths]
+        if all(r is not None for r in rooms):
+            ds = _WithRoomColumn(ds, rooms)
     return pack_dataset(ds, out_dir, items_per_shard)
 
 
