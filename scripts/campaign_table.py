@@ -26,6 +26,9 @@ CAMPAIGNS = [
     ("generator-gap (ISM ckpt, 800 labels)", "exp/ds_r3/ism/summary.json"),
     ("low-label (ISM ckpt, 200 fixed labels)",
      "exp/ds_r3/lowdata/summary.json"),
+    ("CTF big pretrain (r4 ckpt, 800 labels)", "exp/ds_r4/ctf/summary.json"),
+    ("CTF low-label (r4 ckpt, 200 fixed labels)",
+     "exp/ds_r4/ctf_lowdata/summary.json"),
 ]
 MODES = ("lineareval", "scratchlow", "finetune")
 
@@ -40,7 +43,7 @@ def main(argv=None):
                     help="also write the table to this markdown file")
     args = ap.parse_args(argv)
 
-    lines = ["# Round-3 downstream campaigns — best test MAE by mode", ""]
+    lines = ["# Downstream campaigns — best test MAE by mode", ""]
     loaded = []
     for label, rel in CAMPAIGNS:
         p = os.path.join(REPO, rel)
