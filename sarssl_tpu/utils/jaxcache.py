@@ -21,10 +21,33 @@ No reference counterpart: torch caches kernels in-process only
 """
 from __future__ import annotations
 
+import hashlib
 import os
 import warnings
 
 _DEFAULT = os.path.expanduser("~/.cache/sarssl_jax_cache")
+
+
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's feature flags.
+
+    XLA:CPU AOT cache entries bake in the machine features of the host that
+    compiled them; loading them on a host with FEWER features logs
+    'could lead to execution errors such as SIGILL'.  The build box has
+    rebooted onto visibly different silicon (amx-fp16 etc. disappeared), so
+    CPU-compiled entries are segregated per feature set.  TPU entries are
+    unaffected by host microarch, but segregating the whole dir is the
+    simple safe choice.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "nofp"
 
 
 def enable_persistent_cache() -> str | None:
@@ -38,7 +61,9 @@ def enable_persistent_cache() -> str | None:
     """
     import jax
 
-    cache_dir = os.environ.get("SARSSL_JAX_CACHE", _DEFAULT)
+    cache_dir = os.environ.get("SARSSL_JAX_CACHE")
+    if cache_dir is None:
+        cache_dir = os.path.join(_DEFAULT, _host_fingerprint())
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
