@@ -160,7 +160,10 @@ def main(argv=None):
     ckpt_dir = os.path.join(args.exp_dir, "checkpoints")
     log_dir = os.path.join(args.exp_dir, "logs")
     os.makedirs(ckpt_dir, exist_ok=True)
-    save_config(vars(args), os.path.join(args.exp_dir, "config.json"))
+    # --test runs point --exp-dir at an existing pretrain experiment; write
+    # their config beside it instead of clobbering the training run's record.
+    cfg_name = "config_test.json" if args.test else "config.json"
+    save_config(vars(args), os.path.join(args.exp_dir, cfg_name))
 
     if args.test:
         return _pretext_test(args, model, mcfg, feat_cfg, state, nsample)

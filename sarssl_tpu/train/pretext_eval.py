@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.patches import patch_recover
-from ..ops.stft import istft
 
 
 def _pesq_fn():
@@ -31,15 +30,42 @@ def _pesq_fn():
     return fn
 
 
-def reconstruct_waveforms(pred_tf: jax.Array, win_len: int = 512,
+def reconstruct_waveforms(pred_tf, win_len: int = 512,
                           win_shift_ratio: float = 0.5, nfft: int = 512):
-    """(nb, nf, nt, nreim, nch) TF grid (DC dropped) -> (nb, nsample, nch)."""
+    """(nb, nf, nt, nreim, nch) TF grid (DC dropped) -> (nb, nsample, nch).
+
+    Host-side numpy (numerics identical to ``ops.stft.istft``): this is an
+    eval-only path whose output feeds PESQ/plot dumps on the host anyway, and
+    complex arithmetic is UNIMPLEMENTED on the axon TPU backend — keeping it
+    off-device makes ``--test`` runnable against a live chip state.
+    """
+    pred_tf = np.asarray(pred_tf)
     cplx = pred_tf[..., 0, :] + 1j * pred_tf[..., 1, :]  # (nb, nf, nt, nch)
-    dc = jnp.zeros_like(cplx[:, :1])
-    full = jnp.concatenate([dc, cplx], axis=1)  # (nb, nf+1, nt, nch)
-    sig = istft(full, win_len, win_shift_ratio, nfft)
-    peak = jnp.max(jnp.abs(sig))
-    return sig / jnp.maximum(peak, 1e-9)
+    dc = np.zeros_like(cplx[:, :1])
+    full = np.concatenate([dc, cplx], axis=1)  # (nb, nf+1, nt, nch)
+    sig = _istft_np(full, win_len, win_shift_ratio, nfft)
+    peak = np.max(np.abs(sig))
+    return sig / max(peak, 1e-9)
+
+
+def _istft_np(spec: np.ndarray, win_len: int, win_shift_ratio: float,
+              nfft: int) -> np.ndarray:
+    """Numpy mirror of ``ops.stft.istft`` (same Hann/center=False semantics)."""
+    hop = int(win_len * win_shift_ratio)
+    x = np.transpose(spec, (0, 3, 2, 1))  # (nb, nch, nt, nf)
+    frames = np.fft.irfft(x, n=nfft, axis=-1)[..., :win_len]
+    n = np.arange(win_len)
+    win = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_len))
+    frames = frames * win
+    nb, nch, nt, _ = frames.shape
+    out_len = (nt - 1) * hop + win_len
+    sig = np.zeros((nb, nch, out_len), frames.dtype)
+    env = np.zeros(out_len, win.dtype)
+    for t in range(nt):
+        sig[..., t * hop : t * hop + win_len] += frames[..., t, :]
+        env[t * hop : t * hop + win_len] += win * win
+    sig = sig / np.maximum(env, 1e-11)
+    return np.moveaxis(sig, 1, -1)
 
 
 def pretext_metrics(aux: Dict, sig_shape, patch_shape,

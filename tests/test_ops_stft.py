@@ -55,6 +55,44 @@ def test_istft_roundtrip():
     )
 
 
+def test_istft_np_matches_jax():
+    """The host-side numpy istft in pretext_eval mirrors ops.stft.istft.
+
+    The --test eval path reconstructs waveforms on the host (complex math is
+    UNIMPLEMENTED on the axon TPU backend); pin its numerics to the jax op.
+    """
+    from sarssl_tpu.train.pretext_eval import _istft_np
+
+    rng = np.random.default_rng(3)
+    sig = rng.standard_normal((2, 4096, 2)).astype(np.float32)
+    spec = np.asarray(stft(jnp.asarray(sig)))
+    ours = _istft_np(spec, 512, 0.5, 512)
+    ref = np.asarray(istft(jnp.asarray(spec)))
+    assert ours.shape == ref.shape
+    # numpy FFT computes in float64, the jax op in float32; at the signal
+    # edges the 1e-11-floored envelope division amplifies that dtype gap,
+    # so pin the interior (same convention as test_istft_roundtrip).
+    interior = (slice(None), slice(512, -512))
+    np.testing.assert_allclose(ours[interior], ref[interior], atol=1e-5,
+                               rtol=0)
+    np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=0)
+
+
+def test_reconstruct_waveforms_host():
+    """reconstruct_waveforms accepts a DC-dropped (nb,nf,nt,2,nch) grid and
+    returns a peak-normalised host array (pretext --test path)."""
+    from sarssl_tpu.train.pretext_eval import reconstruct_waveforms
+
+    rng = np.random.default_rng(4)
+    sig = rng.standard_normal((1, 4096, 2)).astype(np.float32)
+    spec = np.asarray(stft(jnp.asarray(sig)))  # (1, 257, nt, 2)
+    grid = np.stack([spec.real, spec.imag], axis=-2)[:, 1:]  # drop DC
+    rec = reconstruct_waveforms(jnp.asarray(grid))
+    assert isinstance(rec, np.ndarray)
+    assert rec.shape[0] == 1 and rec.shape[-1] == 2
+    assert abs(np.max(np.abs(rec)) - 1.0) < 1e-5
+
+
 def test_istft_scale_invariance():
     """istft(stft(x)) reproduces x exactly where the window envelope is full.
 
