@@ -116,6 +116,14 @@ def main():
           f"{compile_v:.1f} s)")
 
     # --- scanned (production path) ---------------------------------------
+    # Free the sequential and vmapped grid states before compiling the third
+    # program: keeping all three 16-cell states resident OOMed the chip
+    # (chain15, 2026-08-19 — see GRID_VMAP_r4.json).
+    for _s in states:
+        jax.tree.map(lambda x: x.delete() if hasattr(x, "delete") else None, _s)
+    states = None
+    jax.tree.map(lambda x: x.delete() if hasattr(x, "delete") else None, sts)
+    sts = None
     from sarssl_tpu.train.grid import make_scanned_downstream_steps, _blocks
     K = 25
     NTRIAL = 4
@@ -155,7 +163,7 @@ def main():
            "speedup_scanned": round(t_seq / t_s, 2)}
     print(json.dumps(out))
     with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "GRID_VMAP_r3.json"), "w") as f:
+            os.path.abspath(__file__))), "GRID_VMAP_r4.json"), "w") as f:
         json.dump(out, f, indent=2)
 
 
