@@ -10,10 +10,13 @@
 # was the generator gap + data-budget interaction, this flips it.
 #
 # Scheduling: waits for chain15 (CHAIN15_DONE), then for the driver's
-# end-of-round bench (BENCH_r04*.json appearing, up to a 2 h grace) so the
+# end-of-round bench (BENCH_r04*.json appearing, up to a 12 h grace) so the
 # recorded bench number is never polluted by a concurrent pretrain
-# (one chip owner — CLAUDE.md). Designed to run across the round boundary;
-# round 5 commits whatever has landed.
+# (one chip owner — CLAUDE.md). The grace was raised from 2 h mid-round:
+# the round ran long, and a grace expiry before the driver's bench would
+# have started the pretrain underneath the bench run — exactly the
+# HBM-thrash case the wait exists to prevent. Designed to run across the
+# round boundary; round 5 commits whatever has landed.
 cd /root/repo
 echo $$ > /tmp/chain16.pid
 
@@ -25,7 +28,7 @@ while ! grep -q CHAIN15_DONE /tmp/chain15.log 2>/dev/null; do sleep 120; done
 
 echo "=== waiting for the driver's round-end bench $(date) ==="
 w=0
-while ! ls BENCH_r04*.json >/dev/null 2>&1 && [ "$w" -lt 7200 ]; do
+while ! ls BENCH_r04*.json >/dev/null 2>&1 && [ "$w" -lt 43200 ]; do
   sleep 120; w=$((w + 120))
 done
 while [ "$(busy)" -gt 0 ]; do sleep 120; done
