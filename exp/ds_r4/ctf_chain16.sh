@@ -17,6 +17,14 @@
 # have started the pretrain underneath the bench run — exactly the
 # HBM-thrash case the wait exists to prevent. Designed to run across the
 # round boundary; round 5 commits whatever has landed.
+# SUPERSEDED by ctf_chain16b.sh (round-4 session 2): the round restarted
+# with fresh wall-clock, so the bench wait below would have idled the chip
+# all round; the 16b variant runs the identical pipeline immediately. This
+# script exits if 16b has ever started, so a stray re-run can never put a
+# second program on the chip next to it.
+if [ -f /tmp/chain16b.pid ]; then
+  echo "superseded by ctf_chain16b.sh — exiting"; exit 0
+fi
 cd /root/repo
 echo $$ > /tmp/chain16.pid
 

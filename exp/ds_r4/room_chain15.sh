@@ -7,7 +7,7 @@
 #      (closes the last partial component: per-trial room-subset sim trials,
 #       reference run_downstream.py:173-181 + opt.py:205-214)
 #   3. pretext --test on the ISM checkpoint (recon MSE + PESQ evidence)
-#   4. grid-vmap profile (restores GRID_VMAP_r3.json, r3 weak #3)
+#   4. grid-vmap profile (restores the lost r3 measurement as GRID_VMAP_r4.json)
 #   5. bench refresh + summary collects
 # One chip owner: waits for recovery_chain14.sh (CHAIN11_DONE) to finish.
 cd /root/repo

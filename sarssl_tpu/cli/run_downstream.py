@@ -53,17 +53,34 @@ def room_block_rows(rooms_col, nsimroom, trial):
     return np.flatnonzero(np.isin(rooms_col, blk))
 
 
+def trial_subset_draw(rows, num, seed, trial):
+    """Fixed, epoch-independent draw of num of the given rows (sorted),
+    disjoint-seeded per trial. Identity when num covers all rows."""
+    rows = np.asarray(rows)
+    if num >= len(rows):
+        return rows
+    rng = np.random.default_rng(seed + 555_000 + trial)
+    return np.sort(rows[rng.permutation(len(rows))[:num]])
+
+
 def packed_train_subset(args, pds, num, trial):
     """The train-row universe for one trial of a packed split: room-block
     rows under --room-trials, the fixed low-label draw under
-    --fixed-train-subset, else the whole split."""
+    --fixed-train-subset, else the whole split.
+
+    Under --room-trials, --train-num is a LABEL BUDGET: when it is below
+    the block size the subset is a fixed per-trial draw from the block,
+    never a per-epoch batch cap (a cap with per-epoch reshuffling would
+    touch every block row across epochs and silently overstate low-label
+    results). --fixed-train-subset is therefore subsumed in room mode."""
     if getattr(args, "room_trials", False):
         rc = pds.annos().get("room")
         assert rc is not None, (
             f"--room-trials: packed dir {pds.dir} has no 'room' column — "
             "re-pack the R{idx}/ tree with cli.pack_data (the packer "
             "records room ids automatically for certain-room trees)")
-        return room_block_rows(rc, args.ds_nsimroom, trial)
+        rows = room_block_rows(rc, args.ds_nsimroom, trial)
+        return trial_subset_draw(rows, num, args.seed, trial)
     return fixed_train_subset(args, pds.n, num, trial)
 
 
@@ -140,7 +157,10 @@ def build_parser():
                         "block of ds-nsimroom rooms, so trial variance is "
                         "room-subset variance (reference "
                         "run_downstream.py:173-181 + opt.py:283-290); "
-                        "val/test stay the generic held-out dirs")
+                        "val/test stay the generic held-out dirs. "
+                        "--train-num below the block size is a label "
+                        "budget: a fixed per-trial draw from the block "
+                        "(subsumes --fixed-train-subset)")
     p.add_argument("--fixed-train-subset", action="store_true",
                    help="packed dirs: train each trial on a FIXED "
                         "train-num-row subset of the split (per-trial "
@@ -501,8 +521,9 @@ def main(argv=None):
         num = {"train": train_num, "val": args.val_num,
                "test": args.test_num}[split]
         if args.room_trials and split == "train":
-            # trial's room block, THEN truncate to num (truncating first
-            # would bias the block toward low room ids)
+            # trial's room block, then a fixed seeded draw of num rows
+            # across the WHOLE block ([:num] truncation in sorted-path
+            # order would keep only the block's lowest room ids)
             from ..data.shards import room_id_of_path
             ds = FixMicSigDataset(data_dir, load_anno=True,
                                   transforms=[Selecting((0, nsample))])
@@ -511,7 +532,8 @@ def main(argv=None):
                 f"--room-trials: items outside R{{idx}}/ subdirs under "
                 f"{data_dir}")
             rows = room_block_rows(rooms, args.ds_nsimroom, trial)
-            ds.data_paths = [ds.data_paths[i] for i in rows][:num]
+            rows = trial_subset_draw(rows, num, args.seed, trial)
+            ds.data_paths = [ds.data_paths[i] for i in rows]
         else:
             ds = FixMicSigDataset(data_dir, load_anno=True, data_num=num,
                                   transforms=[Selecting((0, nsample))])

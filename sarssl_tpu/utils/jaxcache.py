@@ -3,7 +3,8 @@
 The axon terminal does the real TPU compile at first execution (~4-8 min
 per distinct program).  This mirrors the cache setup in ``tests/conftest.py``
 so the CLIs, ``bench.py`` and ``__graft_entry__.py`` all reuse one on-disk
-cache (override the location with ``SARSSL_JAX_CACHE``).
+cache (override the base location with ``SARSSL_JAX_CACHE``; a host-CPU
+fingerprint subdir is always appended — see ``_host_fingerprint``).
 
 Scope of the benefit: the cache lives under ``~/.cache`` and survives chain
 restarts and process exits *within one boot*.  A box reboot that wipes the
@@ -61,9 +62,11 @@ def enable_persistent_cache() -> str | None:
     """
     import jax
 
-    cache_dir = os.environ.get("SARSSL_JAX_CACHE")
-    if cache_dir is None:
-        cache_dir = os.path.join(_DEFAULT, _host_fingerprint())
+    # the fingerprint subdir applies to SARSSL_JAX_CACHE overrides too:
+    # a verbatim override would re-expose the stale-AOT/SIGILL hazard the
+    # fingerprint exists to prevent when the box reboots onto new silicon
+    base = os.environ.get("SARSSL_JAX_CACHE", _DEFAULT)
+    cache_dir = os.path.join(base, _host_fingerprint())
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

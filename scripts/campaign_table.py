@@ -74,17 +74,30 @@ def main(argv=None):
             lines.append("| " + " | ".join(cells) + " |")
         lines.append("")
 
-    lines += [
-        "## Protocol experiments (not mode comparisons)",
-        "",
-        "- **Room-subset trials** (reference run_downstream.py:173-181 "
-        "protocol, `--room-trials`): TDOA finetune from the ISM ckpt on a "
-        "16-room certain-room corpus, 4 disjoint 4-room trials of 400 utts "
-        "each — best-per-trial test MAE 0.369/0.413/0.487/0.363 "
-        "(mean 0.408 ± 0.057; the trial spread is room variance by "
-        "construction). `exp/ds_r4/room_TDOA_finetune/`.",
-        "",
-    ]
+    lines += ["## Protocol experiments (not mode comparisons)", ""]
+    room_res = os.path.join(REPO, "exp/ds_r4/room_TDOA_finetune/results.json")
+    if os.path.exists(room_res):
+        with open(room_res) as f:
+            cells = json.load(f)["cells"].values()
+        trials = sorted({c["trial"] for c in cells})
+        best = [min(c["test_mae"] for c in cells if c["trial"] == t)
+                for t in trials]
+        mean = sum(best) / len(best)
+        std = (sum((b - mean) ** 2 for b in best) / len(best)) ** 0.5
+        lines += [
+            "- **Room-subset trials** (reference run_downstream.py:173-181 "
+            "protocol, `--room-trials`): TDOA finetune from the ISM ckpt on "
+            "a 16-room certain-room corpus, "
+            f"{len(trials)} disjoint 4-room trials of 400 utts each — "
+            "best-per-trial test MAE "
+            + "/".join(f"{b:.3f}" for b in best)
+            + f" (mean {mean:.3f} ± {std:.3f}; the trial spread is room "
+            "variance by construction). `exp/ds_r4/room_TDOA_finetune/`.",
+            "",
+        ]
+    else:
+        lines += ["_room-subset trials: no results yet "
+                  "(exp/ds_r4/room_TDOA_finetune/)_", ""]
     out = "\n".join(lines)
     print(out)
     if args.write:

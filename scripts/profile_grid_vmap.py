@@ -14,7 +14,7 @@ once and timing excludes it):
               amortizing the ~0.1 s/step tunnel latency+transfer cost
 
 Run (after generating + packing data/simu_ds): python scripts/profile_grid_vmap.py
-Writes GRID_VMAP_r3.json at the repo root.
+Writes GRID_VMAP_r4.json at the repo root (the restored r3-weak-#3 measurement).
 """
 import json
 import os

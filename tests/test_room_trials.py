@@ -70,6 +70,7 @@ def test_pack_adds_room_column_and_subsets_match(tmp_path):
     class A:  # minimal args
         room_trials = True
         ds_nsimroom = 2
+        seed = 0
 
     sub0 = packed_train_subset(A(), pds, 999, 0)
     sub1 = packed_train_subset(A(), pds, 999, 1)
@@ -77,6 +78,18 @@ def test_pack_adds_room_column_and_subsets_match(tmp_path):
     assert set(rc[sub0]) == {0, 1} and set(rc[sub1]) == {2, 3}
     # packed rows follow the sorted file order, so blocks match the tree's
     assert len(sub0) == len(sub1) == 8
+
+    # --train-num below the block size is a LABEL BUDGET: a fixed,
+    # per-trial draw across the WHOLE block (both rooms represented on
+    # average, never a [:num] prefix of the lowest room id), stable across
+    # calls so epochs reuse the exact same rows
+    lo0 = packed_train_subset(A(), pds, 4, 0)
+    assert len(lo0) == 4 and set(lo0) <= set(sub0)
+    assert np.array_equal(lo0, packed_train_subset(A(), pds, 4, 0))
+    lo1 = packed_train_subset(A(), pds, 4, 1)
+    assert set(lo1) <= set(sub1) and not (set(lo0) & set(lo1))
+    # not simply the first 4 rows of the block (room-0-only prefix)
+    assert not np.array_equal(lo0, np.asarray(sub0)[:4])
 
 
 def test_pack_plain_tree_has_no_room_column(tmp_path):
@@ -103,6 +116,7 @@ def _eval_tree(root, n=6, nsample=NSAMPLE):
     return root
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("grid_vmap,packed", [(False, False), (True, False),
                                               (True, True)])
 def test_room_trials_e2e(tmp_path, grid_vmap, packed):
