@@ -212,6 +212,11 @@ def main(argv=None):
         learner.state = ckpt.restore_state(
             learner.state, payload, restore_opt=not args.resume_from_best)
         learner.epoch = payload["meta"]["epoch"] + 1
+        # restore the early-stop high-water mark too, else the first resumed
+        # epoch is unconditionally a "new best" and can clobber best_model
+        # with a worse checkpoint
+        learner.stopper.best = payload["meta"].get(
+            "max_score", learner.stopper.best)
         print(f"resumed from epoch {payload['meta']['epoch']} "
               f"({os.path.basename(resume_path)})")
 
@@ -428,7 +433,11 @@ def main(argv=None):
 
     if args.smoke:
         h = learner.history
-        ok = h["train_loss"][-1] < h["train_loss"][0]
+        if not h["train_loss"]:  # e.g. --resume with no epochs left to run
+            print("SMOKE PASS (no epochs left to run)")
+            return 0
+        ok = (len(h["train_loss"]) < 2
+              or h["train_loss"][-1] < h["train_loss"][0])
         print("SMOKE", "PASS" if ok else "FAIL",
               f"(loss {h['train_loss'][0]:.4f} -> {h['train_loss'][-1]:.4f})")
         return 0 if ok else 1

@@ -120,3 +120,29 @@ def test_campaign_table_renders_loaded_summaries(tmp_path, capsys):
     assert "| synthetic |" in out
     assert "2.9" in out          # floor
     assert "+25.0%" in out or "-25.0%" in out
+
+def test_trial_stats_selects_by_val_and_merges(tmp_path, capsys):
+    stats = _load("trial_stats")
+    a = str(tmp_path / "a.json")
+    b = str(tmp_path / "b.json")
+    json.dump({"cells": {
+        # trial 0: lr 1e-3 wins on VAL though lr 1e-4 has the lower TEST —
+        # selection must be by val (the protocol can't peek at test)
+        "trial0_bs8_lr0.001": _cell(0, 1e-3, 0.30, 0.40),
+        "trial0_bs8_lr0.0001": _cell(0, 1e-4, 0.35, 0.20),
+        "trial1_bs8_lr0.001": _cell(1, 1e-3, 0.50, 0.60),
+    }}, open(a, "w"))
+    # second file overrides trial 1's cell (merge = dict update order)
+    json.dump({"cells": {
+        "trial1_bs8_lr0.001": _cell(1, 1e-3, 0.30, 0.20),
+    }}, open(b, "w"))
+    trials, tests, lrs = stats.per_trial_best([a, b])
+    assert trials == [0, 1]
+    assert tests == [0.40, 0.20]
+    assert lrs == [1e-3, 1e-3]
+    assert stats.main([f"x={a},{b}", f"y={a}"]) == 0
+    out = capsys.readouterr().out
+    # mean over per-trial tests: x = (0.40+0.20)/2 = 0.30, y = 0.50
+    assert "x: mean 0.3000 +/- 0.1000 (n=2)" in out
+    assert "y: mean 0.5000" in out
+    assert "x vs y: -40.0%" in out
