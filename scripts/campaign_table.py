@@ -26,9 +26,14 @@ CAMPAIGNS = [
     ("generator-gap (ISM ckpt, 800 labels)", "exp/ds_r3/ism/summary.json"),
     ("low-label (ISM ckpt, 200 fixed labels)",
      "exp/ds_r3/lowdata/summary.json"),
-    ("CTF big pretrain (r4 ckpt, 800 labels)", "exp/ds_r4/ctf/summary.json"),
-    ("CTF low-label (r4 ckpt, 200 fixed labels)",
-     "exp/ds_r4/ctf_lowdata/summary.json"),
+    ("CTF pretrain, 25-epoch truncated ckpt (r4, 800 labels)",
+     "exp/ds_r4/ctf/summary.json"),
+    ("CTF pretrain seed 100, full 30-epoch ckpt (r5, 800 labels)",
+     "exp/ds_r5/ctf/summary.json"),
+    ("CTF pretrain seed 101, full 30-epoch ckpt (r5, 800 labels)",
+     "exp/ds_r5/ctf_s101/summary.json"),
+    ("CTF seed-100 ckpt, low-label (r5, 200 fixed labels)",
+     "exp/ds_r5/ctf_lowdata/summary.json"),
 ]
 MODES = ("lineareval", "scratchlow", "finetune")
 
@@ -75,8 +80,16 @@ def main(argv=None):
         lines.append("")
 
     lines += ["## Protocol experiments (not mode comparisons)", ""]
-    room_res = os.path.join(REPO, "exp/ds_r4/room_TDOA_finetune/results.json")
-    if os.path.exists(room_res):
+    room_runs = [
+        ("ISM ckpt", "exp/ds_r4/room_TDOA_finetune"),
+        ("CTF seed-100 ckpt", "exp/ds_r5/room_ctf/TDOA_finetune"),
+    ]
+    any_room = False
+    for ckpt_label, rel in room_runs:
+        room_res = os.path.join(REPO, rel, "results.json")
+        if not os.path.exists(room_res):
+            continue
+        any_room = True
         with open(room_res) as f:
             cells = json.load(f)["cells"].values()
         trials = sorted({c["trial"] for c in cells})
@@ -86,16 +99,16 @@ def main(argv=None):
         std = (sum((b - mean) ** 2 for b in best) / len(best)) ** 0.5
         lines += [
             "- **Room-subset trials** (reference run_downstream.py:173-181 "
-            "protocol, `--room-trials`): TDOA finetune from the ISM ckpt on "
-            "a 16-room certain-room corpus, "
+            f"protocol, `--room-trials`): TDOA finetune from the {ckpt_label} "
+            "on a 16-room certain-room corpus, "
             f"{len(trials)} disjoint 4-room trials of 400 utts each — "
             "best-per-trial test MAE "
             + "/".join(f"{b:.3f}" for b in best)
             + f" (mean {mean:.3f} ± {std:.3f}; the trial spread is room "
-            "variance by construction). `exp/ds_r4/room_TDOA_finetune/`.",
+            f"variance by construction). `{rel}/`.",
             "",
         ]
-    else:
+    if not any_room:
         lines += ["_room-subset trials: no results yet "
                   "(exp/ds_r4/room_TDOA_finetune/)_", ""]
     out = "\n".join(lines)
