@@ -73,6 +73,17 @@ run $EP25 TDOA finetune 8 1600 2700 ctf_ep25_lowdata "${LOW[@]}"
 run $EP25 T60  finetune 4 2400 4000 ctf_ep25_lowdata "${LOW[@]}" --T 4.112
 
 run $EP25 TDOA lineareval 8 3200 5400 ctf_ep25 "${FULL[@]}"
+
+# scanned-grid profile (VERDICT #5, a named directive with a durable JSON):
+# promoted ahead of the remaining lineareval arms. Run only if the third
+# column is still null in GRID_VMAP_r4.json.
+if grep -q '"scanned_s_per_grid_epoch": null' GRID_VMAP_r4.json \
+   && ok 2400 && [ -f /tmp/r5_ds_done ]; then
+  echo "=== scanned-grid profile $(date) ==="
+  timeout 2400 python scripts/profile_grid_vmap.py \
+      > exp/ds_r5/profile_grid_vmap_r5.log 2>&1 || echo "FAILED grid profile"
+fi
+
 run $EP25 T60  lineareval 4 2400 3300 ctf_ep25 "${FULL[@]}" --T 4.112
 run $EP25 TDOA lineareval 8 1600 2700 ctf_ep25_lowdata "${LOW[@]}"
 
@@ -82,15 +93,6 @@ python scripts/collect_flagship.py --base exp/ds_r5/ctf_ep25_lowdata \
     > /tmp/collect_r5_lowdata_c19.log 2>&1 || echo "lowdata collect failed"
 python scripts/collect_flagship.py --base exp/ds_r5/ctf_s101 \
     > /tmp/collect_r5_s101_c19.log 2>&1 || echo "s101 collect failed"
-
-# scanned-grid profile (VERDICT #5): run only if the third column is
-# still null in GRID_VMAP_r4.json.
-if grep -q '"scanned_s_per_grid_epoch": null' GRID_VMAP_r4.json \
-   && ok 2400 && [ -f /tmp/r5_ds_done ]; then
-  echo "=== scanned-grid profile $(date) ==="
-  timeout 2400 python scripts/profile_grid_vmap.py \
-      > exp/ds_r5/profile_grid_vmap_r5.log 2>&1 || echo "FAILED grid profile"
-fi
 
 # room-trials from the CTF checkpoint (vs ISM ckpt's 0.408 +/- 0.050)
 if [ ! -f exp/ds_r5/room_ctf/TDOA_finetune/results.json ] \
