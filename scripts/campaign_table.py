@@ -21,21 +21,43 @@ import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# An entry's second element is one summary.json path or a list of them:
+# a list renders as ONE campaign row whose mode columns are filled from
+# the first summary that has each mode (the ep25 checkpoint's finetune
+# arms ran in r4, its lineareval arms in r5 — same ckpt, same data, one
+# campaign). The planned seed-100 full-30-epoch resume died with the r5
+# environment reset (optimizer state unrecoverable from the f16 export),
+# so that row is gone; seed 101 is the completed-30-epoch schedule.
 CAMPAIGNS = [
     ("flagship (device-synth ckpt, 800 labels)", "exp/ds_r3/summary.json"),
     ("generator-gap (ISM ckpt, 800 labels)", "exp/ds_r3/ism/summary.json"),
     ("low-label (ISM ckpt, 200 fixed labels)",
      "exp/ds_r3/lowdata/summary.json"),
-    ("CTF pretrain, 25-epoch truncated ckpt (r4, 800 labels)",
-     "exp/ds_r4/ctf/summary.json"),
-    ("CTF pretrain seed 100, full 30-epoch ckpt (r5, 800 labels)",
-     "exp/ds_r5/ctf/summary.json"),
+    ("CTF pretrain, ep25 seed-100 ckpt (800 labels; ft r4, LE r5)",
+     ["exp/ds_r4/ctf/summary.json", "exp/ds_r5/ctf_ep25/summary.json"]),
     ("CTF pretrain seed 101, full 30-epoch ckpt (r5, 800 labels)",
      "exp/ds_r5/ctf_s101/summary.json"),
-    ("CTF seed-100 ckpt, low-label (r5, 200 fixed labels)",
-     "exp/ds_r5/ctf_lowdata/summary.json"),
+    ("CTF ep25 seed-100 ckpt, low-label (r5, 200 fixed labels)",
+     "exp/ds_r5/ctf_ep25_lowdata/summary.json"),
 ]
 MODES = ("lineareval", "scratchlow", "finetune")
+
+
+def merge_rows(rows):
+    """Mode-wise merge of one task's rows from several summaries: the
+    first summary with a given mode wins; derived claims are recomputed
+    from the merged modes."""
+    out = dict(rows[0])
+    for r in rows[1:]:
+        for mode in MODES:
+            if out.get(mode) is None and r.get(mode) is not None:
+                out[mode] = r[mode]
+    ft, sc = out.get("finetune"), out.get("scratchlow")
+    if ft and sc:
+        out["finetune_beats_scratch"] = ft["test_mae"] < sc["test_mae"]
+        out["finetune_vs_scratch_pct"] = round(
+            100 * (1 - ft["test_mae"] / sc["test_mae"]), 1)
+    return out
 
 
 def fmt(x, digits=4):
@@ -51,12 +73,20 @@ def main(argv=None):
     lines = ["# Downstream campaigns — best test MAE by mode", ""]
     loaded = []
     for label, rel in CAMPAIGNS:
-        p = os.path.join(REPO, rel)
-        if not os.path.exists(p):
-            lines.append(f"_{label}: no summary yet ({rel})_")
+        rels = [rel] if isinstance(rel, str) else list(rel)
+        summaries = []
+        for r in rels:
+            p = os.path.join(REPO, r)
+            if os.path.exists(p):
+                with open(p) as f:
+                    summaries.append(json.load(f))
+        if not summaries:
+            lines.append(f"_{label}: no summary yet ({rels[0]})_")
             continue
-        with open(p) as f:
-            loaded.append((label, json.load(f)))
+        merged = {task: merge_rows([s[task] for s in summaries if task in s])
+                  for task in ("TDOA", "T60")
+                  if any(task in s for s in summaries)}
+        loaded.append((label, merged))
     if lines[-1] != "":
         lines.append("")
 
