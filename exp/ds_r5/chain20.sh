@@ -68,7 +68,12 @@ for a in 1 2 3 4 5; do
           >/dev/null 2>&1 || true
     done
   ) & SNAP=$!
-  watched 12000 1200 $S101/resume_a$a.log \
+  # staleness 600: the resume program is warm in the persistent compile
+  # cache (restart->epoch costs ~2.5 min) and epochs log every ~6.4 min,
+  # so 10 min of log silence is conclusive. Downstream stages keep 1200
+  # (their programs compile fresh after the reset: 4-8 min of silence is
+  # legitimate there).
+  watched 12000 600 $S101/resume_a$a.log \
     python -m sarssl_tpu.cli.run_pretrain --pretrain --resume \
       --device-synth --fused-attention --bs 128 --epochs 30 \
       --train-num 204800 --val-num 4096 --seed 101 --exp-dir $S101
