@@ -24,6 +24,8 @@ against the actual torch reference — lives in BASELINE.md ("The
 vs_baseline denominator"). The BASELINE.json north star is vs_baseline >= 5.
 """
 import json
+import os
+import threading
 import time
 
 import numpy as np
@@ -37,7 +39,26 @@ WARMUP = 5
 ITERS = 20
 
 
+def _arm_watchdog(deadline_s: float = 1500.0):
+    """The axon tunnel can drop mid-run (observed twice on 2026-08-20),
+    leaving the client waiting forever on a lost in-flight execute. A
+    hung bench records nothing; emit an honest failure JSON instead so
+    the round artifact exists either way. Cancelled on success."""
+    def fire():
+        print(json.dumps({
+            "metric": "pretrain_utts_per_sec_per_chip", "value": None,
+            "unit": "utt/s", "vs_baseline": None,
+            "error": f"watchdog: no result within {deadline_s:.0f}s "
+                     "(axon tunnel drop?)"}), flush=True)
+        os._exit(0)
+    t = threading.Timer(deadline_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    wd = _arm_watchdog(float(os.environ.get("SARSSL_BENCH_DEADLINE", 1500)))
     import jax
     import jax.numpy as jnp
 
@@ -88,10 +109,10 @@ def main():
     float(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    import os
     peak = float(os.environ.get("SARSSL_PEAK_FLOPS", PEAK_FLOPS))
     step_s = dt / ITERS
     ups = BATCH * ITERS / dt
+    wd.cancel()
     print(json.dumps({
         "metric": "pretrain_utts_per_sec_per_chip",
         "value": round(ups, 2),

@@ -186,3 +186,14 @@ if [ ! -f exp/ds_r5/profile_conv_group.log ] && ok 1500; then
 fi
 
 echo CHAIN20_DONE "$(date)"
+
+# ---- Stage 11 (appended while running; append-only is offset-safe): ----
+# one real-chip bench to validate the bench.py tunnel-drop watchdog on the
+# success path and record a fresh r5 throughput number.
+if ok 1500; then
+  echo "=== bench validation $(date) ==="
+  timeout 1500 python bench.py > exp/ds_r5/bench_r5.log 2>&1 \
+    || echo "FAILED bench validation"
+  tail -1 exp/ds_r5/bench_r5.log
+fi
+echo CHAIN20_TAIL_DONE "$(date)"
